@@ -1,0 +1,31 @@
+"""baryonification_tpu — a TPU-native baryonification framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+DhayaaAnbajagane/Baryonification ("BaryonForge"): parametric halo-profile
+models (Schneider+19, Arico+20, Mead+20, Battaglia+12, thermodynamics),
+displacement-function baryonification of HEALPix shells / 2D & 3D grids /
+particle snapshots, and profile painting (tSZ, pressure, temperature, ...),
+with device-resident interpolation tables, vmapped gather-displace-scatter
+kernels, and `jax.sharding` mesh parallelism instead of joblib processes.
+
+Everything in the compute path is jit-able and differentiable; hot loops are
+fixed-shape and vectorized so XLA can tile them onto TPU hardware.
+
+Precision policy: model building (profile quadratures, mass inversion,
+displacement tables) runs in float64 — the iterative inversions genuinely
+need it (the reference keeps scipy's f64 throughout) — so importing this
+package enables `jax_enable_x64`. The per-pixel hot paths
+(gather/displace/scatter over millions of pixels) explicitly run in float32
+with conservation-safe reductions.
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from . import constants
+from . import ops
+from . import cosmology
+from .cosmology import Cosmology, MassDef
+
+__version__ = "0.1.0"

@@ -1,0 +1,173 @@
+"""Pixel window functions and window-convolved profiles.
+
+TPU-native re-implementation of `/root/reference/BaryonForge/utils/Pixel.py`:
+``ConvolvedProfile`` runs the profile through an FFTLog round trip with the
+pixel window applied in Fourier/harmonic space; ``GridPixelApprox``
+approximates a square/cubic pixel by an area/volume-equivalent tophat beam;
+``HealPixel`` approximates the HEALPix pixel window by a Gaussian beam
+(<0.1% accurate over most scales, `Pixel.py:461-463`).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .ops.fftlog import fftlog_transform
+from .ops.interp import pchip_derivatives, pchip_eval
+
+__all__ = ['ConvolvedProfile', 'GridPixelApprox', 'HealPixel', 'NoPix']
+
+
+def _nside2resol(NSIDE):
+    """HEALPix mean pixel spacing in radians: sqrt(4 pi / (12 NSIDE^2))
+    (healpy.nside2resol parity)."""
+    return np.sqrt(4.0 * np.pi / (12.0 * NSIDE * NSIDE))
+
+
+class ConvolvedProfile:
+    """Wrap (Profile, Pixel) and expose the same real/projected API with the
+    pixel window applied (`Pixel.py:10-224`).
+
+    real:       rho -> T3 -> x W(k) -> T3 -> x (2 pi)^3
+    projected:  Sigma -> T2 -> x W(k or ell) -> T2 -> x (2 pi)^2
+    with r below pixel_size/5 clipped to suppress ringing, and the harmonic
+    branch mapping r -> theta = r / D_A(comoving).
+    """
+
+    def __init__(self, Profile, Pixel):
+        self.Profile = Profile
+        self.Pixel = Pixel
+        self.fft_par = Profile.precision_fftlog
+        self.isHarmonic = Pixel.isHarmonic
+
+    def __getattr__(self, name):
+        try:
+            return super().__getattribute__(name)
+        except AttributeError:
+            return getattr(self.Profile, name)
+
+    # keep picklable despite __getattr__ (`Pixel.py:100-103`)
+    def __getstate__(self):
+        return self.__dict__.copy()
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
+    def _fft_grid(self, r):
+        par = self.fft_par
+        r_min = min(float(jnp.min(r)) * par['padding_lo_fftlog'], 1e-8)
+        r_max = max(float(jnp.max(r)) * par['padding_hi_fftlog'], 1e3)
+        n = int(par['n_per_decade'] * np.log10(r_max / r_min))
+        return jnp.geomspace(r_min, r_max, n)
+
+    def _interp_back(self, r_out, prof, r_query):
+        lnro = jnp.log(r_out)
+        lnq = jnp.log(r_query)
+
+        def one(p):
+            d = pchip_derivatives(lnro, p)
+            q = pchip_eval(lnq, lnro, p, d, extrapolate=False)
+            return jnp.where(jnp.isnan(q), 0.0, q)
+
+        if prof.ndim == 1:
+            return one(prof)
+        return jax.vmap(one)(prof)
+
+    def real(self, cosmo, r, M, a):
+        r = jnp.atleast_1d(jnp.asarray(r))
+        r_fft = self._fft_grid(r)
+        prof = self.Profile.real(cosmo, r_fft, M, a)
+
+        k_out, Pk = fftlog_transform(r_fft, prof, 3, 0,
+                                     self.fft_par['plaw_fourier'])
+        r_out, prof = fftlog_transform(k_out, Pk * self.Pixel.real(k_out),
+                                       3, 0, self.fft_par['plaw_fourier'] + 1)
+
+        r_q = jnp.clip(r, self.Pixel.size / 5, None)
+        prof = self._interp_back(r_out, prof, r_q)
+        return prof * (2 * jnp.pi) ** 3
+
+    def projected(self, cosmo, r, M, a):
+        r = jnp.atleast_1d(jnp.asarray(r))
+        if self.isHarmonic:
+            assert a < 1, ("You cannot set a = 1, z = 0 when computing "
+                           "harmonic sky projections")
+            D_A = cosmo.comoving_angular_distance(a)
+
+        r_fft = self._fft_grid(r)
+        prof = self.Profile.projected(cosmo, r_fft, M, a)
+        if self.isHarmonic:
+            r_fft = r_fft / D_A
+
+        k_out, Pk = fftlog_transform(r_fft, prof, 2, 0,
+                                     self.fft_par['plaw_fourier'] + 1)
+        r_out, prof = fftlog_transform(k_out,
+                                       Pk * self.Pixel.projected(k_out),
+                                       2, 0, self.fft_par['plaw_fourier'] + 1)
+
+        if self.isHarmonic:
+            r_out = r_out * D_A
+            r_q = jnp.clip(r, self.Pixel.size / 5 * D_A, None)
+        else:
+            r_q = jnp.clip(r, self.Pixel.size / 5, None)
+
+        prof = self._interp_back(r_out, prof, r_q)
+        return prof * (2 * jnp.pi) ** 2
+
+
+class GridPixelApprox:
+    """Square/cubic pixel approximated by a circular/spherical tophat beam
+    3 j1(kd)/(kd), d = 2R, with volume-equivalent R for ``real`` and
+    area-equivalent R for ``projected`` (`Pixel.py:229-407`)."""
+
+    isHarmonic = False
+
+    def __init__(self, size):
+        self.size = size
+
+    def beam(self, k, R):
+        kr = k * (2.0 * R)
+        kr_safe = jnp.where(kr > 0, kr, 1.0)
+        # spherical j1(x)/x = (sin x - x cos x)/x^3
+        j1_over = (jnp.sin(kr_safe) - kr_safe * jnp.cos(kr_safe)) / kr_safe**3
+        return jnp.where(kr > 0, 3.0 * j1_over, 1.0)
+
+    def real(self, k):
+        R = np.cbrt(self.size**3 / (4.0 / 3.0 * np.pi))
+        return self.beam(k, R)
+
+    def projected(self, k):
+        R = np.sqrt(self.size**2 / np.pi)
+        return self.beam(k, R)
+
+
+class HealPixel:
+    """HEALPix pixel window as a Gaussian beam
+    exp(-k(k+1) sigma^2 / 2), sigma = resol/sqrt(8 ln 2)/sqrt(2)
+    (`Pixel.py:411-540`). ``real()`` poisons invalid 3D use with zeros."""
+
+    isHarmonic = True
+
+    def __init__(self, NSIDE):
+        self.NSIDE = NSIDE
+        self.size = _nside2resol(NSIDE)
+
+    def real(self, k):
+        return jnp.zeros_like(k)
+
+    def projected(self, k):
+        sig = self.size / np.sqrt(8 * np.log(2)) / np.sqrt(2)
+        return jnp.exp(-k * (1 + k) / 2 * sig**2)
+
+
+class NoPix:
+    """Identity window (testing; `Pixel.py:543-582`)."""
+
+    isHarmonic = False
+    size = 0.0
+
+    def real(self, k):
+        return jnp.ones_like(k)
+
+    def projected(self, k):
+        return jnp.ones_like(k)
