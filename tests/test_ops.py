@@ -50,10 +50,15 @@ class TestFFTLog:
         np.testing.assert_allclose(F[lo], want[lo], rtol=3e-2)
 
     def test_gaussian_2d(self):
-        """2D: T2[e^{-r^2/2}](k) = e^{-k^2/2}/(2pi)."""
+        """2D: T2[e^{-r^2/2}](k) = e^{-k^2/2}/(2pi).
+
+        2D transforms use plaw=-1 — the reference always passes
+        ``plaw_fourier + 1`` for dim=2 (`Pixel.py:208-209`); q=-2 would sit
+        on the Gamma pole of the mu=0 Mellin kernel.
+        """
         r = np.geomspace(1e-4, 1e3, 1024)
         f = np.exp(-0.5 * r**2)
-        k, F = fftlog_transform(r, f, 2, 0, plaw=-2.0)
+        k, F = fftlog_transform(r, f, 2, 0, plaw=-1.0)
         k, F = np.asarray(k), np.asarray(F)
         want = np.exp(-0.5 * k**2) / (2 * np.pi)
         mid = (k > 0.2) & (k < 4.0)
