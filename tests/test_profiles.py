@@ -259,7 +259,7 @@ class TestProjection:
         want = np.sqrt(2 * np.pi) * g.s * np.exp(-0.5 * (rp / g.s) ** 2)
         # relative accuracy in the body; absolute quadrature floor deep in
         # the tail (trapz, same regime as the reference's projection)
-        np.testing.assert_allclose(got, want, rtol=5e-3, atol=2e-4)
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-3)
 
     def test_projected_monotone_decreasing(self, cosmo):
         dm = DarkMatter(**PAR)
