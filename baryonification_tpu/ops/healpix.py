@@ -1,0 +1,298 @@
+"""HEALPix RING-scheme geometry in pure JAX.
+
+Replaces healpy's C++ routines used throughout the reference shell runner
+(`/root/reference/BaryonForge/Runners/HealpixRunner.py`): ang2vec/pix2vec
+(`:303,312`), query_disc (`:306`), get_interp_weights (`:337`) and
+nside2resol. Everything is closed-form RING arithmetic — vectorized,
+jit-able, TPU-friendly (no host callbacks, no variable shapes).
+
+The variable-size ``query_disc`` becomes ``disc_window``: a fixed
+(NR rings x NP pixels-per-ring) index window with a validity mask, so
+per-halo pixel gathers vmap cleanly (SURVEY.md section 7 step 6).
+
+Conventions match HEALPix: theta = colatitude in [0, pi], phi in [0, 2pi),
+ring index i = 1..4n-1. All formulas from Gorski et al. 2005.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["npix", "nside2resol", "pix2ang", "ang2pix", "pix2vec", "ang2vec",
+           "vec2ang", "ring_info", "z_to_ring", "get_interp_weights",
+           "disc_window"]
+
+
+def npix(nside):
+    return 12 * nside * nside
+
+
+def nside2resol(nside):
+    """Mean pixel spacing in radians (healpy parity)."""
+    return np.sqrt(4.0 * np.pi / npix(nside))
+
+
+def ang2vec(theta, phi):
+    st = jnp.sin(theta)
+    return jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi),
+                      jnp.cos(theta)], axis=-1)
+
+
+def vec2ang(vec):
+    x, y, z = vec[..., 0], vec[..., 1], vec[..., 2]
+    r = jnp.sqrt(x * x + y * y + z * z)
+    theta = jnp.arccos(jnp.clip(z / r, -1.0, 1.0))
+    phi = jnp.arctan2(y, x)
+    phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+    return theta, phi
+
+
+def radec2ang(ra_deg, dec_deg):
+    """(ra, dec) in degrees -> (theta, phi) HEALPix angles (lonlat=True
+    convention in healpy)."""
+    theta = jnp.deg2rad(90.0 - dec_deg)
+    phi = jnp.deg2rad(jnp.mod(ra_deg, 360.0))
+    return theta, phi
+
+
+# ----- pixel <-> angle -----
+
+def pix2ang(nside, ipix):
+    """RING pixel index -> (theta, phi), vectorized."""
+    n = nside
+    p = jnp.asarray(ipix, dtype=jnp.int64)
+    Np = 12 * n * n
+    ncap = 2 * n * (n - 1)
+
+    # --- north cap: rings i = 1..n-1 with 4i pixels ---
+    ph = (p + 1) * 0.5
+    i_cap = (jnp.floor(jnp.sqrt(jnp.maximum(
+        ph - jnp.sqrt(jnp.floor(ph)), 0.0))) + 1).astype(p.dtype)
+    j_cap = p - 2 * i_cap * (i_cap - 1)          # 0-based in ring
+    z_n = 1.0 - i_cap.astype(jnp.float64) ** 2 / (3.0 * n * n)
+    phi_n = (jnp.pi / (2.0 * i_cap)) * (j_cap + 0.5)
+
+    # --- equatorial belt: rings i = n..3n, 4n pixels each ---
+    pe = p - ncap
+    i_eq = pe // (4 * n) + n
+    j_eq = pe % (4 * n)
+    s = (i_eq - n + 1) % 2                        # phase shift
+    z_e = 4.0 / 3.0 - 2.0 * i_eq.astype(jnp.float64) / (3.0 * n)
+    phi_e = (jnp.pi / (2.0 * n)) * (j_eq + s * 0.5)
+
+    # --- south cap (mirror of north) ---
+    q = Np - 1 - p
+    qh = (q + 1) * 0.5
+    i_s = (jnp.floor(jnp.sqrt(jnp.maximum(
+        qh - jnp.sqrt(jnp.floor(qh)), 0.0))) + 1).astype(p.dtype)
+    j_s = q - 2 * i_s * (i_s - 1)
+    z_s = -(1.0 - i_s.astype(jnp.float64) ** 2 / (3.0 * n * n))
+    phi_s = (jnp.pi / (2.0 * i_s)) * ((4 * i_s - 1 - j_s) + 0.5)
+
+    north = p < ncap
+    south = p >= Np - ncap
+    z = jnp.where(north, z_n, jnp.where(south, z_s, z_e))
+    phi = jnp.where(north, phi_n, jnp.where(south, phi_s, phi_e))
+    return jnp.arccos(jnp.clip(z, -1.0, 1.0)), phi
+
+
+def pix2vec(nside, ipix):
+    theta, phi = pix2ang(nside, ipix)
+    return ang2vec(theta, phi)
+
+
+def ang2pix(nside, theta, phi):
+    """(theta, phi) -> RING pixel index, vectorized (healpy algorithm)."""
+    n = nside
+    z = jnp.cos(theta)
+    za = jnp.abs(z)
+    tt = jnp.mod(phi, 2 * jnp.pi) / (0.5 * jnp.pi)   # in [0, 4)
+
+    # --- equatorial: |z| <= 2/3 ---
+    temp1 = n * (0.5 + tt)
+    temp2 = n * (z * 0.75)
+    jp = jnp.floor(temp1 - temp2).astype(jnp.int64)
+    jm = jnp.floor(temp1 + temp2).astype(jnp.int64)
+    ir = n + 1 + jp - jm          # ring counted from z = 2/3: 1..2n+1
+    kshift = 1 - (ir & 1)
+    ip = (jp + jm - n + kshift + 1) // 2
+    ip = jnp.mod(ip, 4 * n)
+    pix_eq = 2 * n * (n - 1) + 4 * n * (ir - 1) + ip
+
+    # --- polar caps ---
+    tp = tt - jnp.floor(tt)
+    tmp = n * jnp.sqrt(jnp.maximum(3.0 * (1.0 - za), 0.0))
+    jp_c = jnp.floor(tp * tmp).astype(jnp.int64)
+    jm_c = jnp.floor((1.0 - tp) * tmp).astype(jnp.int64)
+    ir_c = jp_c + jm_c + 1
+    ip_c = jnp.floor(tt * ir_c).astype(jnp.int64)
+    ip_c = jnp.mod(ip_c, 4 * ir_c)
+    pix_n = 2 * ir_c * (ir_c - 1) + ip_c
+    pix_s = 12 * n * n - 2 * ir_c * (ir_c + 1) + ip_c
+
+    pix_polar = jnp.where(z > 0, pix_n, pix_s)
+    return jnp.where(za <= 2.0 / 3.0, pix_eq, pix_polar)
+
+
+# ----- ring bookkeeping -----
+
+def ring_info(nside, i):
+    """For ring index i (1..4n-1): (z, start_pixel, npix_in_ring, shifted).
+
+    shifted=1 means pixel centers offset by half a spacing in phi.
+    """
+    n = nside
+    i = jnp.asarray(i, dtype=jnp.int64)
+    in_ncap = i < n
+    in_scap = i > 3 * n
+
+    # north cap
+    z_n = 1.0 - i.astype(jnp.float64) ** 2 / (3.0 * n * n)
+    start_n = 2 * i * (i - 1)
+    npr_n = 4 * i
+
+    # equatorial
+    z_e = 4.0 / 3.0 - 2.0 * i.astype(jnp.float64) / (3.0 * n)
+    start_e = 2 * n * (n - 1) + 4 * n * (i - n)
+    npr_e = jnp.full_like(i, 4 * n)
+    shift_e = ((i - n + 1) % 2).astype(jnp.float64) * 0.5
+
+    # south cap: mirror ring i' = 4n - i
+    i_m = 4 * n - i
+    z_s = -(1.0 - i_m.astype(jnp.float64) ** 2 / (3.0 * n * n))
+    start_s = 12 * n * n - 2 * i_m * (i_m + 1)
+    npr_s = 4 * i_m
+
+    z = jnp.where(in_ncap, z_n, jnp.where(in_scap, z_s, z_e))
+    start = jnp.where(in_ncap, start_n, jnp.where(in_scap, start_s, start_e))
+    npr = jnp.where(in_ncap, npr_n, jnp.where(in_scap, npr_s, npr_e))
+    shift = jnp.where(in_ncap | in_scap, 0.5, shift_e)
+    return z, start, npr, shift
+
+
+def z_to_ring(nside, z):
+    """Ring index of the ring at-or-above z (0 = above the first ring)."""
+    n = nside
+    z = jnp.asarray(z)
+    # equatorial inverse: i = 2n - 1.5 n z  (from z = 4/3 - 2i/(3n))
+    i_eq = jnp.floor(n * (2.0 - 1.5 * z)).astype(jnp.int64)
+    # caps: i = n sqrt(3 (1 -| z|))
+    i_n = jnp.floor(n * jnp.sqrt(jnp.maximum(3.0 * (1.0 - z), 0.0))
+                    ).astype(jnp.int64)
+    i_s = 4 * n - 1 - jnp.floor(
+        n * jnp.sqrt(jnp.maximum(3.0 * (1.0 + z), 0.0))).astype(jnp.int64)
+    ring = jnp.where(z > 2.0 / 3.0, i_n,
+                     jnp.where(z < -2.0 / 3.0, i_s, i_eq))
+    return jnp.clip(ring, 0, 4 * n - 1)
+
+
+# ----- bilinear interpolation weights (healpy get_interp_weights) -----
+
+def _ring_phi_neighbors(nside, ring, phi):
+    """In ring ``ring``: the two pixels bracketing phi and the fractional
+    offset toward the second one."""
+    z, start, npr, shift = ring_info(nside, ring)
+    dphi = 2.0 * jnp.pi / npr.astype(jnp.float64)
+    t = phi / dphi - shift
+    j1 = jnp.floor(t).astype(jnp.int64)
+    frac = t - j1
+    p1 = start + jnp.mod(j1, npr)
+    p2 = start + jnp.mod(j1 + 1, npr)
+    return p1, p2, frac, z
+
+
+def get_interp_weights(nside, theta, phi):
+    """4 neighbor pixels + bilinear weights for each (theta, phi).
+
+    Returns (pix, w) of shape (..., 4); weights sum to 1 (healpy
+    get_interp_weights parity; the pole rows fall back to splitting the
+    weight within the nearest ring, which preserves the sum).
+    """
+    n = nside
+    z = jnp.cos(theta)
+    r1 = z_to_ring(n, z)
+    r2 = r1 + 1
+    at_npole = r1 < 1
+    at_spole = r2 > 4 * n - 1
+    r1c = jnp.clip(r1, 1, 4 * n - 1)
+    r2c = jnp.clip(r2, 1, 4 * n - 1)
+
+    p11, p12, f1, z1 = _ring_phi_neighbors(n, r1c, phi)
+    p21, p22, f2, z2 = _ring_phi_neighbors(n, r2c, phi)
+
+    # theta-weight toward ring 2 (healpy interpolates in theta)
+    th1 = jnp.arccos(jnp.clip(z1, -1, 1))
+    th2 = jnp.arccos(jnp.clip(z2, -1, 1))
+    denom = jnp.where(th2 > th1, th2 - th1, 1.0)
+    wt = jnp.clip((theta - th1) / denom, 0.0, 1.0)
+    wt = jnp.where(at_npole, 0.0, jnp.where(at_spole, 1.0, wt))
+
+    pix = jnp.stack([p11, p12, p21, p22], axis=-1)
+    w = jnp.stack([(1 - wt) * (1 - f1), (1 - wt) * f1,
+                   wt * (1 - f2), wt * f2], axis=-1)
+    return pix, w
+
+
+# ----- fixed-size disc windows (query_disc replacement) -----
+
+@partial(jax.jit, static_argnames=("nside", "n_rings", "n_phi"))
+def disc_window(nside, theta0, phi0, radius, n_rings, n_phi):
+    """Fixed-shape pixel window covering a disc of angular ``radius``
+    around (theta0, phi0).
+
+    Returns (pix, valid) of shapes (..., n_rings, n_phi): RING pixel
+    indices and a mask selecting pixels whose centers lie inside the disc.
+    ``n_rings``/``n_phi`` are static padding bounds; callers size them from
+    the largest disc in the batch (bucketing halos keeps padding tight).
+    """
+    n = nside
+    theta0 = jnp.asarray(theta0)
+    phi0 = jnp.asarray(phi0)
+    radius = jnp.asarray(radius)
+
+    cos_r = jnp.cos(radius)
+    v0 = ang2vec(theta0, phi0)
+
+    # candidate rings
+    z_hi = jnp.cos(jnp.maximum(theta0 - radius, 0.0))
+    ring_lo = z_to_ring(n, z_hi)           # first ring at-or-below top
+    ring_lo = jnp.clip(ring_lo, 1, 4 * n - 1)
+    k = jnp.arange(n_rings)
+    rings_raw = ring_lo[..., None] + k
+    ring_ok = rings_raw <= 4 * n - 1        # avoid double-counting the
+    rings = jnp.clip(rings_raw, 1, 4 * n - 1)  # clamped last ring (..., NR)
+
+    z, start, npr, shift = ring_info(n, rings)
+    dphi_pix = 2.0 * jnp.pi / npr.astype(jnp.float64)
+
+    # phi half-width of the disc at this ring's colatitude
+    st0 = jnp.sin(theta0)[..., None]
+    ct0 = jnp.cos(theta0)[..., None]
+    st = jnp.sqrt(jnp.maximum(1.0 - z * z, 1e-30))
+    cosdphi = (cos_r[..., None] - z * ct0) / (st * st0 + 1e-30)
+    full_ring = cosdphi < -1.0
+    no_overlap = cosdphi > 1.0
+    dphi_max = jnp.where(full_ring, jnp.pi,
+                         jnp.arccos(jnp.clip(cosdphi, -1.0, 1.0)))
+
+    # center pixel in ring and symmetric candidate offsets
+    t = phi0[..., None] / dphi_pix - shift
+    j_center = jnp.round(t).astype(jnp.int64)
+    m = jnp.arange(n_phi) - (n_phi // 2)
+    j = j_center[..., None] + m                        # (..., NR, NP)
+    jw = jnp.mod(j, npr[..., None])
+    pix = start[..., None] + jw
+
+    # validity: pixel center actually within the disc (exact, via dot
+    # product -- mirrors query_disc inclusive=False semantics)
+    pvec = pix2vec(n, pix)
+    inside = jnp.einsum('...i,...i->...', pvec,
+                        v0[..., None, None, :]) >= cos_r[..., None, None]
+    valid = inside & ~no_overlap[..., None] & ring_ok[..., None]
+    # mask candidate slots that alias the same pixel (ring shorter than NP)
+    span = jnp.minimum(npr[..., None], n_phi)
+    slot_ok = (m >= -(span // 2)) & (m < span - span // 2)
+    valid = valid & slot_ok
+    return pix, valid
