@@ -27,5 +27,19 @@ from . import constants
 from . import ops
 from . import cosmology
 from .cosmology import Cosmology, MassDef
+from . import utils
+from . import io
+from .io import (HaloLightConeCatalog, HaloNDCatalog, LightconeShell,
+                 GriddedMap, ParticleSnapshot)
+from . import profiles
+from .pixels import ConvolvedProfile, GridPixelApprox, HealPixel, NoPix
+from .displacement import Baryonification2D, Baryonification3D
+from .tabulate import (TabulatedProfile, ParamTabulatedProfile,
+                       TabulatedCorrelation3D)
+from . import runners
+from .runners import (BaryonifyShell, PaintProfilesShell, BaryonifyGrid,
+                      PaintProfilesGrid, PaintProfilesAnisGrid,
+                      BaryonifySnapshot)
+from .parallel import SimpleParallel, SplitJoinParallel
 
 __version__ = "0.1.0"

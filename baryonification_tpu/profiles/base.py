@@ -112,10 +112,18 @@ class HaloProfile:
             prof = jnp.squeeze(prof, axis=0)
         return prof
 
+    #: subclasses with a native projected implementation (e.g. tabulated
+    #: profiles) set this; otherwise the realspace/fftlog integral is used
+    #: (mirrors the reference's `self._projected = ...` dispatch,
+    #: `Schneider19.py:114-119`)
+    _projected = None
+
     def projected(self, cosmo, r, M, a):
         r_use = jnp.atleast_1d(jnp.asarray(r, dtype=jnp.float64))
         M_use = jnp.atleast_1d(jnp.asarray(M, dtype=jnp.float64))
-        if self.use_fftlog_projection:
+        if self._projected is not None:
+            prof = self._projected(cosmo, r_use, M_use, a)
+        elif self.use_fftlog_projection:
             prof = self._projected_fftlog(cosmo, r_use, M_use, a)
         else:
             prof = self._projected_realspace(cosmo, r_use, M_use, a)

@@ -1,0 +1,307 @@
+"""End-to-end runner tests: shell/grid/snapshot baryonify + painting.
+
+Strategy (SURVEY.md section 4): mass conservation asserts, physical
+invariants (mass moves outward around halos), and a brute-force numpy
+re-implementation of the shell algorithm to cross-check the vectorized
+kernels at small NSIDE.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from baryonification_tpu import (Cosmology, HaloLightConeCatalog,
+                                 HaloNDCatalog, LightconeShell, GriddedMap,
+                                 ParticleSnapshot)
+from baryonification_tpu.cosmology import MassDef
+from baryonification_tpu.displacement import Baryonification3D, Baryonification2D
+from baryonification_tpu.profiles import DarkMatterOnly, DarkMatterBaryon, Gas
+from baryonification_tpu.runners import (BaryonifyShell, PaintProfilesShell,
+                                         BaryonifyGrid, PaintProfilesGrid,
+                                         BaryonifySnapshot)
+from baryonification_tpu.tabulate import TabulatedProfile
+from baryonification_tpu.ops import healpix as hpx
+
+from test_profiles import PAR
+
+COSMO_DICT = dict(Omega_m=0.3, Omega_b=0.05, h=0.7, sigma8=0.8, n_s=0.96,
+                  w0=-1.0)
+
+
+@pytest.fixture(scope="module")
+def displ2d(cosmo):
+    model = Baryonification2D(DarkMatterOnly(**PAR), DarkMatterBaryon(**PAR),
+                              cosmo, epsilon_max=20)
+    model.setup_interpolator(z_min=0.05, z_max=0.6, N_samples_z=4,
+                             M_min=1e13, M_max=1e15, N_samples_Mass=6,
+                             R_min=1e-3, R_max=70, N_samples_R=64)
+    return model
+
+
+@pytest.fixture(scope="module")
+def displ3d(cosmo):
+    model = Baryonification3D(DarkMatterOnly(**PAR), DarkMatterBaryon(**PAR),
+                              cosmo, epsilon_max=20)
+    model.setup_interpolator(z_min=0.05, z_max=0.6, N_samples_z=4,
+                             M_min=1e13, M_max=1e15, N_samples_Mass=6,
+                             R_min=1e-3, R_max=70, N_samples_R=64)
+    return model
+
+
+@pytest.fixture(scope="module")
+def shell_setup():
+    nside = 32
+    rng = np.random.default_rng(11)
+    n_halo = 25
+    ra = rng.uniform(0, 360, n_halo)
+    dec = np.degrees(np.arcsin(rng.uniform(-0.8, 0.8, n_halo)))
+    M = 10 ** rng.uniform(13.6, 14.8, n_halo)
+    z = rng.uniform(0.15, 0.45, n_halo)
+    cat = HaloLightConeCatalog(ra=ra, dec=dec, M=M, z=z, cosmo=COSMO_DICT)
+    mass_map = rng.uniform(0.5, 1.5, hpx.npix(nside))
+    shell = LightconeShell(map=mass_map, cosmo=COSMO_DICT)
+    return cat, shell
+
+
+class TestBaryonifyShell:
+    def test_conservation_and_change(self, shell_setup, displ2d):
+        cat, shell = shell_setup
+        runner = BaryonifyShell(cat, shell, epsilon_max=20, model=displ2d)
+        new_map = runner.process()
+        assert new_map.shape == shell.map.shape
+        assert np.isclose(new_map.sum(), shell.map.sum(), rtol=1e-8)
+        assert not np.allclose(new_map, shell.map)
+
+    def test_matches_bruteforce(self, shell_setup, displ2d, cosmo):
+        """Cross-check the vectorized kernel against a direct numpy
+        re-implementation of the same algorithm."""
+        cat, shell = shell_setup
+        nside = shell.NSIDE
+        npix = hpx.npix(nside)
+        runner = BaryonifyShell(cat, shell, epsilon_max=20, model=displ2d,
+                                n_buckets=3)
+        got = runner.process()
+
+        # ---- brute force ----
+        mdef = MassDef(200, 'critical')
+        centers = np.asarray(hpx.pix2vec(nside, np.arange(npix)))
+        offsets = np.zeros((npix, 3))
+        for j in range(len(cat)):
+            M_j = cat.cat['M'][j]
+            z_j = cat.cat['z'][j]
+            a_j = 1 / (1 + z_j)
+            R_j = float(mdef.get_radius(cosmo, M_j, a_j))
+            D_j = float(cosmo.angular_diameter_distance(a_j))
+            th, ph = np.asarray(hpx.radec2ang(cat.cat['ra'][j],
+                                              cat.cat['dec'][j]))
+            v0 = np.asarray(hpx.ang2vec(jnp.asarray(th), jnp.asarray(ph)))
+            radius = 20 * R_j / D_j
+            sel = np.where(centers @ v0 >= np.cos(radius))[0]
+            if sel.size < 4:
+                sel = np.asarray(hpx.get_interp_weights(
+                    nside, jnp.asarray(th), jnp.asarray(ph))[0])
+            pos = centers[sel] * D_j
+            diff = pos - v0 * D_j
+            r_sep = np.sqrt(np.sum(diff**2, axis=1))
+            d = np.asarray(displ2d.displacement(r_sep / a_j, M_j, a_j)) * a_j
+            off = d[:, None] * diff / r_sep[:, None]
+            off = np.where(np.isfinite(off), off, 0)
+            nw = pos + off
+            nw = nw / np.linalg.norm(nw, axis=1)[:, None]
+            offsets[sel] += nw - centers[sel]
+
+        new_vec = centers + offsets
+        thn, phn = np.asarray(hpx.vec2ang(jnp.asarray(new_vec)))
+        cpix, w = hpx.get_interp_weights(nside, jnp.asarray(thn),
+                                         jnp.asarray(phn))
+        want = np.zeros(npix)
+        np.add.at(want, np.asarray(cpix).reshape(-1),
+                  (np.asarray(w) * shell.map[:, None]).reshape(-1))
+
+        rms = np.sqrt(np.mean((got - want) ** 2)) / shell.map.mean()
+        assert rms < 1e-10, rms
+
+
+class TestPaintShell:
+    def test_paint_positive_additive(self, shell_setup, cosmo):
+        cat, shell = shell_setup
+        gas = TabulatedProfile(Gas(**PAR), cosmo)
+        gas.setup_interpolator(z_min=0.05, z_max=0.6, N_samples_z=4,
+                               M_min=1e13, M_max=1e15, N_samples_Mass=6,
+                               R_min=1e-3, R_max=70, N_samples_R=48)
+        runner = PaintProfilesShell(cat, shell, epsilon_max=5, model=gas)
+        painted = runner.process()
+        assert painted.shape == shell.map.shape
+        assert np.all(painted >= 0)
+        assert painted.sum() > 0
+
+    def test_splitjoin_matches_single(self, shell_setup, cosmo):
+        from baryonification_tpu.parallel import SplitJoinParallel
+        cat, shell = shell_setup
+        gas = TabulatedProfile(Gas(**PAR), cosmo)
+        gas.setup_interpolator(z_min=0.05, z_max=0.6, N_samples_z=4,
+                               M_min=1e13, M_max=1e15, N_samples_Mass=6,
+                               R_min=1e-3, R_max=70, N_samples_R=48)
+        runner = PaintProfilesShell(cat, shell, epsilon_max=5, model=gas)
+        single = runner.process()
+        par = SplitJoinParallel(runner, njobs=3)
+        joined = par.process()
+        np.testing.assert_allclose(joined, single, rtol=1e-9, atol=1e-30)
+
+    def test_splitjoin_rejects_baryonify(self, shell_setup, displ2d):
+        from baryonification_tpu.parallel import SplitJoinParallel
+        cat, shell = shell_setup
+        runner = BaryonifyShell(cat, shell, epsilon_max=20, model=displ2d)
+        with pytest.raises(AssertionError):
+            SplitJoinParallel(runner, njobs=2)
+
+
+@pytest.fixture(scope="module")
+def grid_setup_2d():
+    rng = np.random.default_rng(12)
+    N = 64
+    L = 100.0
+    bins = (np.arange(N) + 0.5) * (L / N)
+    n_halo = 15
+    cat = HaloNDCatalog(x=rng.uniform(0, L, n_halo),
+                        y=rng.uniform(0, L, n_halo),
+                        M=10 ** rng.uniform(13.6, 14.6, n_halo),
+                        redshift=0.25, cosmo=COSMO_DICT)
+    mass_map = rng.uniform(0.5, 1.5, (N, N))
+    gm = GriddedMap(map=mass_map, redshift=0.25, bins=bins,
+                    cosmo=COSMO_DICT)
+    return cat, gm
+
+
+class TestBaryonifyGrid:
+    def test_conservation_2d(self, grid_setup_2d, displ2d):
+        cat, gm = grid_setup_2d
+        runner = BaryonifyGrid(cat, gm, epsilon_max=20, model=displ2d)
+        new_map = runner.process()
+        assert new_map.shape == gm.map.shape
+        assert np.isclose(new_map.sum(), gm.map.sum(), rtol=1e-8)
+        assert not np.allclose(new_map, gm.map)
+
+    def test_mass_moves_outward_2d(self, displ3d, cosmo):
+        """A single halo on a uniform map: mass inside ~R should drop
+        (gas ejection dominates at the default parameters)."""
+        N, L = 64, 50.0
+        bins = (np.arange(N) + 0.5) * (L / N)
+        cat = HaloNDCatalog(x=[25.0], y=[25.0], M=[10 ** 14.8],
+                            redshift=0.25, cosmo=COSMO_DICT)
+        gm = GriddedMap(map=np.ones((N, N)), redshift=0.25, bins=bins,
+                        cosmo=COSMO_DICT)
+        runner = BaryonifyGrid(cat, gm, epsilon_max=15, model=displ3d)
+        new_map = runner.process()
+        xx = bins[:, None] - 25.0
+        yy = bins[None, :] - 25.0
+        rr = np.sqrt(xx**2 + yy**2)
+        inner = rr < 2.0
+        assert new_map[inner].sum() < gm.map[inner].sum()
+
+    def test_conservation_3d(self, displ3d):
+        rng = np.random.default_rng(13)
+        N, L = 32, 80.0
+        bins = (np.arange(N) + 0.5) * (L / N)
+        cat = HaloNDCatalog(x=rng.uniform(0, L, 8), y=rng.uniform(0, L, 8),
+                            z=rng.uniform(0, L, 8),
+                            M=10 ** rng.uniform(13.8, 14.5, 8),
+                            redshift=0.25, cosmo=COSMO_DICT)
+        gm = GriddedMap(map=rng.uniform(0.5, 1.5, (N, N, N)), redshift=0.25,
+                        bins=bins, cosmo=COSMO_DICT)
+        runner = BaryonifyGrid(cat, gm, epsilon_max=10, model=displ3d)
+        new_map = runner.process()
+        assert np.isclose(new_map.sum(), gm.map.sum(), rtol=1e-8)
+        assert not np.allclose(new_map, gm.map)
+
+
+class TestPaintGrid:
+    def test_paint_2d(self, grid_setup_2d, cosmo):
+        cat, gm = grid_setup_2d
+        gas = TabulatedProfile(Gas(**PAR), cosmo)
+        gas.setup_interpolator(z_min=0.05, z_max=0.6, N_samples_z=4,
+                               M_min=1e13, M_max=1e15, N_samples_Mass=6,
+                               R_min=1e-3, R_max=70, N_samples_R=48)
+        runner = PaintProfilesGrid(cat, gm, epsilon_max=5, model=gas)
+        painted = runner.process()
+        assert painted.shape == gm.map.shape
+        assert np.all(painted >= 0)
+        assert painted.sum() > 0
+        # peak near a halo position
+        i = int(np.argmin(np.abs(gm.bins - cat.cat['x'][0])))
+        j = int(np.argmin(np.abs(gm.bins - cat.cat['y'][0])))
+        assert painted[i, j] > np.median(painted)
+
+
+class TestBaryonifySnapshot:
+    def test_displacements(self, displ3d):
+        rng = np.random.default_rng(14)
+        L = 80.0
+        n_part = 5000
+        snap = ParticleSnapshot(x=rng.uniform(0, L, n_part),
+                                y=rng.uniform(0, L, n_part),
+                                z=rng.uniform(0, L, n_part),
+                                M=np.ones(n_part), L=L, redshift=0.25,
+                                cosmo=COSMO_DICT)
+        cat = HaloNDCatalog(x=[40.0], y=[40.0], z=[40.0], M=[10 ** 14.8],
+                            redshift=0.25, cosmo=COSMO_DICT)
+        runner = BaryonifySnapshot(cat, snap, epsilon_max=10, model=displ3d)
+        new_cat = runner.process()
+
+        old = np.stack([snap.cat[c] for c in 'xyz'], axis=-1)
+        new = np.stack([new_cat[c] for c in 'xyz'], axis=-1)
+        moved = np.any(old != new, axis=1)
+        assert moved.sum() > 0
+        # only particles within epsilon_max * R of the halo move
+        d_old = np.sqrt(np.sum((old - 40.0) ** 2, axis=1))
+        a = 1 / 1.25
+        cos = Cosmology.from_dict(COSMO_DICT)
+        R = float(MassDef(200, 'critical').get_radius(cos, 10**14.8, a)) / a
+        assert np.all(d_old[moved] < 10 * R * 1.05)
+        # particles far away unmoved
+        assert not np.any(moved & (d_old > 10 * R * 1.2))
+        # positions stay in the box
+        assert np.all((new >= 0) & (new <= L))
+
+    def test_matches_bruteforce(self, displ3d):
+        """Cell-list gather == direct O(N^2) neighbor loop."""
+        rng = np.random.default_rng(15)
+        L = 60.0
+        n_part = 2000
+        xyz = rng.uniform(0, L, (n_part, 3))
+        snap = ParticleSnapshot(x=xyz[:, 0], y=xyz[:, 1], z=xyz[:, 2],
+                                M=np.ones(n_part), L=L, redshift=0.25,
+                                cosmo=COSMO_DICT)
+        hx = np.array([10.0, 50.0])
+        hy = np.array([12.0, 45.0])
+        hz = np.array([8.0, 55.0])
+        hM = np.array([10 ** 14.5, 10 ** 14.2])
+        cat = HaloNDCatalog(x=hx, y=hy, z=hz, M=hM, redshift=0.25,
+                            cosmo=COSMO_DICT)
+        runner = BaryonifySnapshot(cat, snap, epsilon_max=8, model=displ3d)
+        new_cat = runner.process()
+
+        # brute force
+        a = 1 / 1.25
+        cos = Cosmology.from_dict(COSMO_DICT)
+        tot = np.zeros((n_part, 3))
+        for j in range(2):
+            R = float(MassDef(200, 'critical').get_radius(cos, hM[j], a))
+            R_q = min(8 * R / a, L / 2)
+            dx = xyz - np.array([hx[j], hy[j], hz[j]])
+            dx = np.where(dx > L / 2, dx - L, dx)
+            dx = np.where(dx < -L / 2, dx + L, dx)
+            d = np.sqrt(np.sum(dx**2, axis=1))
+            sel = d < R_q
+            dd = np.asarray(displ3d.displacement(d[sel], hM[j], a)) * a
+            dd = np.where(np.isfinite(dd), dd, 0)
+            # epsilon_max zeroing uses the runner's epsilon_max=8
+            R_com = R / a
+            dd = np.where(d[sel] < 8 * R_com, dd, 0)
+            tot[sel] += dd[:, None] * dx[sel] / d[sel][:, None]
+        want = xyz + tot
+        want = np.where(want > L, want - L, want)
+        want = np.where(want < 0, want + L, want)
+        got = np.stack([new_cat[c] for c in 'xyz'], axis=-1)
+        np.testing.assert_allclose(got, want, atol=1e-9)
