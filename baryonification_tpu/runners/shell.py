@@ -36,15 +36,30 @@ __all__ = ['DefaultRunner', 'BaryonifyShell', 'PaintProfilesShell',
 
 
 def _bucket_edges(radii, n_buckets):
-    """Split halos into buckets of similar angular radius (host-side).
+    """Split halos into geometric angular-radius buckets (host-side).
 
-    Returns a list of index arrays, largest-radius bucket last. Bucketing
-    keeps the fixed-shape window padding tight: a single global window
-    sized for the largest halo would waste O(100x) work on the smallest.
+    Each bucket spans at most a factor ~2 in radius, so the fixed-shape
+    window padding wastes at most ~4x work within a bucket — a single
+    global window sized for the largest halo would waste O(100x) on the
+    smallest. Returns a list of index arrays.
     """
-    order = np.argsort(radii)
-    splits = np.array_split(order, n_buckets)
-    return [s for s in splits if s.size > 0]
+    radii = np.asarray(radii)
+    r_max = radii.max()
+    r_min = max(radii.min(), r_max / 2 ** n_buckets, 1e-12)
+    edges = np.geomspace(r_min, r_max, n_buckets + 1)
+    edges[0], edges[-1] = 0.0, np.inf
+    out = []
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        idx = np.where((radii > lo) & (radii <= hi))[0]
+        if idx.size:
+            out.append(idx)
+    return out
+
+
+def _chunk_for(n_rings, n_phi, halo_chunk, budget=4_000_000):
+    """Halo-chunk size bounded by a per-chunk gathered-pixel budget."""
+    per_halo = n_rings * n_phi + 4
+    return max(1, min(halo_chunk, budget // per_halo))
 
 
 def _window_dims(nside, radius_max):
@@ -65,7 +80,7 @@ class DefaultRunner:
 
     def __init__(self, HaloLightConeCatalog, LightconeShell, epsilon_max,
                  model, use_ellipticity=False, mass_def=None, verbose=True,
-                 halo_chunk=256, n_buckets=8):
+                 halo_chunk=256, n_buckets=8, precision="auto"):
         self.HaloLightConeCatalog = HaloLightConeCatalog
         self.LightconeShell = LightconeShell
         self.cosmo = HaloLightConeCatalog.cosmology
@@ -76,6 +91,14 @@ class DefaultRunner:
         self.halo_chunk = halo_chunk
         self.n_buckets = n_buckets
         self.use_ellipticity = use_ellipticity
+        # float32 on accelerators (f64 is software-emulated on TPU); the
+        # conservation-critical regrid weights stay exact-sum by
+        # construction, and the offset delta uses a cancellation-stable
+        # form, so f32 is accurate at the 0.1%-map level.
+        if precision == "auto":
+            precision = ("float64" if jax.default_backend() == "cpu"
+                         else "float32")
+        self.dtype = jnp.dtype(precision)
         if use_ellipticity:
             raise NotImplementedError(
                 "use_ellipticity = True is not implemented for the "
@@ -147,9 +170,16 @@ def _accumulate_shell_offsets(nside, n_rings, n_phi, n_props, use_rdelta,
         d = jnp.where(jnp.isfinite(d), d, 0.0) * a_h      # physical
 
         offset = d[:, None] * diff / jnp.maximum(r_sep, 1e-30)[:, None]
+        # delta = normalize(pos + offset) - vec, computed without the
+        # catastrophic cancellation of the naive difference (needed for
+        # the float32 TPU path): with s = |pos+off| - D,
+        # delta = (off - vec * s) / |pos+off|.
         nw = pos + offset
-        nw = nw / jnp.sqrt(jnp.sum(nw * nw, axis=-1))[:, None]
-        delta = nw - vec
+        nw_norm = jnp.sqrt(jnp.sum(nw * nw, axis=-1))
+        s = ((2.0 * jnp.sum(pos * offset, axis=-1)
+              + jnp.sum(offset * offset, axis=-1))
+             / (nw_norm + D_h))
+        delta = (offset - vec * s[:, None]) / nw_norm[:, None]
         delta = jnp.where((valid & jnp.all(jnp.isfinite(delta), axis=-1)
                            )[:, None], delta, 0.0)
         return jnp.where(valid, pix, 0), delta
@@ -159,7 +189,7 @@ def _accumulate_shell_offsets(nside, n_rings, n_phi, n_props, use_rdelta,
         pix, delta = jax.vmap(one_halo)(
             sl(theta), sl(phi), sl(M), sl(a), sl(R_com), sl(D),
             sl(props))
-        offs = offs.at[pix.reshape(-1)].add(
+        offs = offs.at[pix.reshape(-1).astype(jnp.int32)].add(
             delta.reshape(-1, 3).astype(offs.dtype))
         return offs, None
 
@@ -204,7 +234,8 @@ def _accumulate_shell_paint(nside, n_rings, n_phi, n_props, chunk,
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, idx * chunk, chunk)
         pix, paint = jax.vmap(one_halo)(
             sl(theta), sl(phi), sl(M), sl(a), sl(R_com), sl(D), sl(props))
-        m = m.at[pix.reshape(-1)].add(paint.reshape(-1).astype(m.dtype))
+        m = m.at[pix.reshape(-1).astype(jnp.int32)].add(
+            paint.reshape(-1).astype(m.dtype))
         return m, None
 
     new_map, _ = jax.lax.scan(chunk_body, new_map, jnp.arange(n_chunks))
@@ -216,11 +247,12 @@ def _regrid_shell(nside, orig_map, offsets):
     """Stage C: displace every pixel's unit vector, bilinear-redeposit the
     original mass (`HealpixRunner.py:333-341`)."""
     p = jnp.arange(hpx.npix(nside))
-    vec = hpx.pix2vec(nside, p) + offsets
+    vec = hpx.pix2vec(nside, p).astype(offsets.dtype) + offsets
     theta, phi = hpx.vec2ang(vec)
     cpix, w = hpx.get_interp_weights(nside, theta, phi)
-    return regrid_healpix(hpx.npix(nside), orig_map.astype(jnp.float64),
-                          cpix, w)
+    return regrid_healpix(hpx.npix(nside), orig_map,
+                          cpix.astype(jnp.int32), w.astype(orig_map.dtype),
+                          dtype=orig_map.dtype)
 
 
 def _pad_to(arrs, n, chunk):
@@ -265,25 +297,30 @@ class BaryonifyShell(DefaultRunner):
         n_props = len(p_keys)
         use_rdelta = bool(getattr(model, 'Rdelta_sampling', False))
 
-        table = model._table
-        grids = model._grids
+        dt = self.dtype
+        table = model._table.astype(dt)
+        grids = tuple(g.astype(dt) for g in model._grids)
 
-        offsets = jnp.zeros((hpx.npix(nside), 3), dtype=jnp.float64)
+        offsets = jnp.zeros((hpx.npix(nside), 3), dtype=dt)
         for idx in _bucket_edges(arrs['radius'], self.n_buckets):
             sub = {k: v[idx] for k, v in arrs.items()}
             n_rings, n_phi = _window_dims(nside, float(sub['radius'].max()))
-            chunk = min(self.halo_chunk, max(len(idx), 1))
+            chunk = _chunk_for(n_rings, n_phi, self.halo_chunk)
             sub = _pad_to(sub, len(idx), chunk)
             offsets = _accumulate_shell_offsets(
                 nside, n_rings, n_phi, n_props, use_rdelta, chunk,
                 grids, table, float(self.epsilon_max),
-                jnp.asarray(sub['theta']), jnp.asarray(sub['phi']),
-                jnp.asarray(sub['M']), jnp.asarray(sub['a']),
-                jnp.asarray(sub['R_com']), jnp.asarray(sub['D']),
-                jnp.asarray(sub['props']), offsets)
+                jnp.asarray(sub['theta'], dtype=dt),
+                jnp.asarray(sub['phi'], dtype=dt),
+                jnp.asarray(sub['M'], dtype=dt),
+                jnp.asarray(sub['a'], dtype=dt),
+                jnp.asarray(sub['R_com'], dtype=dt),
+                jnp.asarray(sub['D'], dtype=dt),
+                jnp.asarray(sub['props'], dtype=dt), offsets)
 
-        new_map = _regrid_shell(nside, jnp.asarray(orig_map), offsets)
-        new_map = np.asarray(new_map)
+        new_map = _regrid_shell(nside, jnp.asarray(orig_map, dtype=dt),
+                                offsets)
+        new_map = np.asarray(new_map, dtype=np.float64)
 
         new_sum, old_sum = new_map.sum(), orig_map.sum()
         assert np.isclose(new_sum, old_sum), (
@@ -318,22 +355,28 @@ class PaintProfilesShell(DefaultRunner):
 
         nside = self.LightconeShell.NSIDE
         arrs = self._halo_arrays(cosmo)
-        new_map = jnp.zeros(hpx.npix(nside), dtype=jnp.float64)
+        dt = self.dtype
+        table = model._ln2D.astype(dt)
+        grids = tuple(g.astype(dt) for g in model._grids)
+        new_map = jnp.zeros(hpx.npix(nside), dtype=dt)
 
         for idx in _bucket_edges(arrs['radius'], self.n_buckets):
             sub = {k: v[idx] for k, v in arrs.items()}
             n_rings, n_phi = _window_dims(nside, float(sub['radius'].max()))
-            chunk = min(self.halo_chunk, max(len(idx), 1))
+            chunk = _chunk_for(n_rings, n_phi, self.halo_chunk)
             sub = _pad_to(sub, len(idx), chunk)
             new_map = _accumulate_shell_paint(
                 nside, n_rings, n_phi, len(p_keys), chunk,
-                model._grids, model._ln2D, float(self.epsilon_max),
-                jnp.asarray(sub['theta']), jnp.asarray(sub['phi']),
-                jnp.asarray(sub['M']), jnp.asarray(sub['a']),
-                jnp.asarray(sub['R_com']), jnp.asarray(sub['D']),
-                jnp.asarray(sub['props']), new_map)
+                grids, table, float(self.epsilon_max),
+                jnp.asarray(sub['theta'], dtype=dt),
+                jnp.asarray(sub['phi'], dtype=dt),
+                jnp.asarray(sub['M'], dtype=dt),
+                jnp.asarray(sub['a'], dtype=dt),
+                jnp.asarray(sub['R_com'], dtype=dt),
+                jnp.asarray(sub['D'], dtype=dt),
+                jnp.asarray(sub['props'], dtype=dt), new_map)
 
-        return np.asarray(new_map)
+        return np.asarray(new_map, dtype=np.float64)
 
 
 class PaintProfilesAnisShell(PaintProfilesShell):

@@ -1,0 +1,105 @@
+"""Headline benchmark: full-sky NSIDE=1024 shell baryonify with 1e6 halos.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The project metric (BASELINE.json): seconds per NSIDE=1024 shell baryonify
+(1e6 halos); north-star <10 s. vs_baseline = 10.0 / measured_seconds (the
+reference publishes no timings — `BASELINE.md`).
+
+Displacement-table construction (one-time, host-side fp64 — the same
+amortized setup the reference performs via setup_interpolator) is excluded
+from the timed region, mirroring how the reference's runtime is reported.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    nside = int(os.environ.get("BENCH_NSIDE", 1024))
+    n_halo = int(os.environ.get("BENCH_NHALO", 1_000_000))
+    eps_max = float(os.environ.get("BENCH_EPS_MAX", 20.0))
+
+    import jax
+
+    from baryonification_tpu import (Cosmology, HaloLightConeCatalog,
+                                     LightconeShell)
+    from baryonification_tpu.displacement import Baryonification2D
+    from baryonification_tpu.profiles import DarkMatterOnly, DarkMatterBaryon
+    from baryonification_tpu.runners import BaryonifyShell
+    from baryonification_tpu.ops import healpix as hpx
+
+    cosmo_dict = dict(Omega_m=0.3, Omega_b=0.05, h=0.7, sigma8=0.8,
+                      n_s=0.96, w0=-1.0)
+    cosmo = Cosmology.from_dict(cosmo_dict)
+
+    par = dict(epsilon=4.0, theta_ej=4, theta_co=0.1, M_c=1e14, mu_beta=0.1,
+               gamma=2.5, delta=7, mu_theta_ej=0.1, M_theta_ej=5e13,
+               M_theta_co=5e13, M_gamma=5e13, M_delta=5e13, eta=0.3,
+               eta_delta=0.1, tau=-1.5, tau_delta=0, A=0.055, M1=3e11,
+               epsilon_h=0.015, a=0.3, n=2.0, p=0.3, q=0.707,
+               cutoff=np.inf, proj_cutoff=1000)
+
+    # ---- displacement table (one-time setup, cached on disk) ----
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_table.npz")
+    model = Baryonification2D(DarkMatterOnly(**par), DarkMatterBaryon(**par),
+                              cosmo, epsilon_max=eps_max)
+    if os.path.exists(cache):
+        import jax.numpy as jnp
+        dat = np.load(cache)
+        model.p_keys = []
+        model._grids = tuple(jnp.asarray(dat[f"g{i}"]) for i in range(3))
+        model._table = jnp.asarray(dat["table"])
+        model.Rdelta_sampling = False
+    else:
+        t0 = time.time()
+        model.setup_interpolator(z_min=0.05, z_max=1.2, N_samples_z=12,
+                                 M_min=1e12, M_max=1e16, N_samples_Mass=24,
+                                 R_min=1e-3, R_max=1e2, N_samples_R=100)
+        print(f"# table build: {time.time() - t0:.1f}s", file=sys.stderr)
+        np.savez(cache, table=np.asarray(model._table),
+                 **{f"g{i}": np.asarray(g)
+                    for i, g in enumerate(model._grids)})
+
+    # ---- synthetic catalog + shell ----
+    rng = np.random.default_rng(7)
+    ra = rng.uniform(0, 360, n_halo)
+    dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n_halo)))
+    # power-law mass function in [10^13, 10^15.3]
+    u = rng.uniform(0, 1, n_halo)
+    M = 1e13 * (1 - u * (1 - (10 ** 15.3 / 1e13) ** (-0.8))) ** (-1 / 0.8)
+    z = rng.uniform(0.1, 0.9, n_halo)
+    cat = HaloLightConeCatalog(ra=ra, dec=dec, M=M, z=z, cosmo=cosmo_dict)
+    shell = LightconeShell(map=rng.uniform(0.5, 1.5, hpx.npix(nside)),
+                           cosmo=cosmo_dict)
+
+    runner = BaryonifyShell(cat, shell, epsilon_max=eps_max, model=model,
+                            verbose=False)
+
+    # warm-up (compile)
+    t0 = time.time()
+    runner.process()
+    print(f"# warm-up (incl. compile): {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    # timed steady-state run
+    t0 = time.time()
+    new_map = runner.process()
+    dt = time.time() - t0
+
+    assert np.isclose(new_map.sum(), shell.map.sum(), rtol=1e-5)
+    print(json.dumps({
+        "metric": f"nside{nside}_shell_baryonify_{n_halo}halos",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(10.0 / dt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
