@@ -199,7 +199,11 @@ class BaryonificationClass:
         build = jax.jit(lambda zs, ps: jax.lax.scan(
             build_slice, 0, (zs, ps))[1])
         try:
-            table = build(jnp.asarray(zz), jnp.asarray(pp))
+            # table building is fp64 host work (like the reference's scipy
+            # path); pin it to the CPU backend — the finished table then
+            # flows to the accelerator for the runner hot path
+            with jax.default_device(jax.devices("cpu")[0]):
+                table = build(jnp.asarray(zz), jnp.asarray(pp))
         finally:
             # restore swept params so no tracers leak into the profiles
             for prof, sv in zip((self.DMO, self.DMB), saved):

@@ -48,12 +48,14 @@ class TabulatedProfile(HaloProfile):
 
         interp3D = []
         interp2D = []
-        for z_j in z_range:
-            a_j = 1.0 / (1.0 + z_j)
-            interp3D.append(np.asarray(self.model.real(
-                self.cosmo, r, M_range, a_j)))
-            interp2D.append(np.asarray(self.model.projected(
-                self.cosmo, r, M_range, a_j)) * a_j)
+        # profile quadratures are fp64 host work; pin to the CPU backend
+        with jax.default_device(jax.devices("cpu")[0]):
+            for z_j in z_range:
+                a_j = 1.0 / (1.0 + z_j)
+                interp3D.append(np.asarray(self.model.real(
+                    self.cosmo, r, M_range, a_j)))
+                interp2D.append(np.asarray(self.model.projected(
+                    self.cosmo, r, M_range, a_j)) * a_j)
         interp3D = np.stack(interp3D)
         interp2D = np.stack(interp2D)
 
@@ -145,6 +147,7 @@ class ParamTabulatedProfile:
 
         saved = {k: getattr(self.model, k, None) for k in p_keys}
         try:
+          with jax.default_device(jax.devices("cpu")[0]):
             for j, z_j in enumerate(z_range):
                 a_j = 1.0 / (1.0 + z_j)
                 for c, pvals in enumerate(combos):
