@@ -16,3 +16,6 @@ from .thermodynamic import (Pressure, NonThermalFrac, NonThermalFracGreen20,
                             GasNumberDensity, XrayLuminosity)
 from . import schneider19 as Schneider19
 from . import thermodynamic as Thermodynamic
+from . import arico20 as Arico20
+from . import mead20 as Mead20
+from . import battaglia as Battaglia

@@ -46,6 +46,23 @@ model_params = [
 ]
 
 
+def pchip_local_root(x, lny):
+    """Zero of the curve x(lny) via monotone interpolation of a 10-point
+    window around the sign change (vectorize with vmap; mirrors the
+    reference's `_safe_Pchip_minimize`, `Arico20.py:651-659`)."""
+    from ..ops.interp import pchip_derivatives, pchip_eval
+    i0 = jnp.clip(jnp.argmin(jnp.abs(x)), 5, x.shape[0] - 6)
+    xw = jax.lax.dynamic_slice_in_dim(x, i0 - 5, 10)
+    yw = jax.lax.dynamic_slice_in_dim(lny, i0 - 5, 10)
+    # enforce increasing x for the monotone interpolation
+    sign = jnp.sign(xw[-1] - xw[0])
+    xw = xw * sign
+    order = jnp.argsort(xw)
+    xw, yw = xw[order], yw[order]
+    d = pchip_derivatives(xw, yw)
+    return pchip_eval(jnp.asarray(0.0), xw, yw, d)
+
+
 class AricoProfiles(S19.SchneiderProfiles):
     """Family base: own parameter vocabulary (all unset params -> None,
     `Arico20.py:37-54`), gas parameter scalings and Behroozi-style star
@@ -304,20 +321,9 @@ class ModifiedDarkMatter(AricoProfiles):
                + dp / 3 * (R[:, None] ** 3 - rp_grid**3))
         RHS = (fDM * M / (4 * jnp.pi))[:, None]
 
-        def solve_one(lhs_i, rhs_i):
-            x = lhs_i - rhs_i
-            i0 = jnp.clip(jnp.argmin(jnp.abs(x)), 5, x.shape[0] - 6)
-            xw = jax.lax.dynamic_slice_in_dim(x, i0 - 5, 10)
-            yw = jax.lax.dynamic_slice_in_dim(jnp.log(rp_grid), i0 - 5, 10)
-            # enforce increasing x for the monotone interpolation
-            sign = jnp.sign(xw[-1] - xw[0])
-            xw = xw * sign
-            order = jnp.argsort(xw)
-            xw, yw = xw[order], yw[order]
-            d = pchip_derivatives(xw, yw)
-            return jnp.exp(pchip_eval(jnp.asarray(0.0), xw, yw, d))
-
-        rp = jax.vmap(solve_one)(LHS, RHS)[:, None]
+        rp = jax.vmap(lambda lhs_i, rhs_i: jnp.exp(
+            pchip_local_root(lhs_i - rhs_i, jnp.log(rp_grid))))(LHS, RHS)
+        rp = rp[:, None]
         rho_c = dp * (rp / r_s) * jnp.power(1 + rp / r_s, 2)
 
         prof = rho_c / (r / r_s) / jnp.power(1 + r / r_s, 2)
