@@ -1,0 +1,91 @@
+"""Summary-statistic tests: P(k) and HEALPix C_ell against closed forms."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from baryonification_tpu.ops import healpix as hpx
+from baryonification_tpu.ops.spectra import (power_spectrum_3d,
+                                             power_spectrum_2d, anafast)
+
+
+class TestPk3D:
+    def test_single_mode(self):
+        """A pure plane wave has all power in one k bin, P = A^2 L^3 / 2."""
+        N, L = 64, 100.0
+        x = np.arange(N) * (L / N)
+        kf = 2 * np.pi / L
+        A = 0.1
+        mode = 4
+        delta = A * np.cos(kf * mode * x)[:, None, None] * np.ones((1, N, N))
+        k, pk, counts = power_spectrum_3d(jnp.asarray(delta), L)
+        k, pk, counts = map(np.asarray, (k, pk, counts))
+        # total power: sum pk*counts ~ A^2/2 * L^3
+        tot = np.sum(pk * counts)
+        assert abs(tot / (A**2 / 2 * L**3) - 1) < 1e-6
+        ibin = np.argmax(pk * counts)
+        assert abs(k[ibin] / (kf * mode) - 1) < 0.1
+
+    def test_white_noise(self):
+        """White noise: P(k) = L^3 sigma^2 / N^3, flat."""
+        rng = np.random.default_rng(21)
+        N, L = 48, 50.0
+        sigma = 1.0
+        delta = rng.normal(0, sigma, (N, N, N))
+        k, pk, counts = power_spectrum_3d(jnp.asarray(delta), L)
+        pk = np.asarray(pk)
+        want = L**3 * sigma**2 / N**3
+        sel = np.asarray(counts) > 50
+        assert abs(np.mean(pk[sel]) / want - 1) < 0.1
+
+
+class TestPk2D:
+    def test_white_noise_2d(self):
+        rng = np.random.default_rng(22)
+        N, L = 128, 50.0
+        delta = rng.normal(0, 1.0, (N, N))
+        k, pk, counts = power_spectrum_2d(jnp.asarray(delta), L)
+        want = L**2 / N**2
+        sel = np.asarray(counts) > 50
+        assert abs(np.mean(np.asarray(pk)[sel]) / want - 1) < 0.15
+
+
+class TestAnafast:
+    def test_monopole(self):
+        """Constant map c: C_0 = 4 pi c^2, higher ells ~ 0."""
+        nside = 16
+        cl = np.asarray(anafast(jnp.ones(hpx.npix(nside)) * 2.0, nside, 24))
+        assert abs(cl[0] / (4 * np.pi * 4.0) - 1) < 1e-6
+        assert np.all(np.abs(cl[1:]) < 1e-6 * cl[0])
+
+    def test_dipole(self):
+        """Map = cos(theta) = sqrt(4pi/3) Y_10: C_1 = 4 pi / 3 / ... :
+        a_10 = sqrt(4 pi/3), C_1 = |a|^2/3 = 4 pi / 9."""
+        nside = 32
+        theta, _ = hpx.pix2ang(nside, np.arange(hpx.npix(nside)))
+        cl = np.asarray(anafast(jnp.cos(theta), nside, 16))
+        want = 4 * np.pi / 9
+        assert abs(cl[1] / want - 1) < 1e-3
+        assert cl[0] < 1e-8 and np.all(cl[2:] < 1e-4 * cl[1])
+
+    def test_y2m_modes(self):
+        """Map built from Y_2^2-like structure: sin^2(theta) cos(2 phi)
+        = sqrt(32 pi/15)/2... check power concentrates at ell=2."""
+        nside = 32
+        theta, phi = hpx.pix2ang(nside, np.arange(hpx.npix(nside)))
+        m = np.sin(np.asarray(theta)) ** 2 * np.cos(2 * np.asarray(phi))
+        cl = np.asarray(anafast(jnp.asarray(m), nside, 16))
+        assert cl[2] > 100 * np.sum(np.delete(cl, 2))
+
+    def test_white_noise_flat(self):
+        """Pixel white noise: C_ell ~ sigma^2 4 pi / npix, flat in ell."""
+        nside = 16
+        rng = np.random.default_rng(23)
+        m = rng.normal(0, 1, hpx.npix(nside))
+        lmax = 2 * nside
+        cl = np.asarray(anafast(jnp.asarray(m), nside, lmax))
+        want = 4 * np.pi / hpx.npix(nside)
+        # average over ell (chi2 scatter per ell); exclude lowest ells
+        got = np.mean(cl[4:])
+        assert abs(got / want - 1) < 0.2
