@@ -237,6 +237,155 @@ def get_interp_weights(nside, theta, phi):
 
 # ----- fixed-size disc windows (query_disc replacement) -----
 
+# ----- precomputed-table fast path (for accelerator kernels) -----
+#
+# The closed-form functions above mix integer ring bookkeeping with f64
+# trigonometry — exact, but expensive on TPUs (f64 is software-emulated).
+# For the hot kernels we precompute two host-side tables once per NSIDE:
+#   * ring tables (4n-1 entries): z, theta, start pixel, ring length,
+#     phi shift — a few KB;
+#   * the pixel-center unit vectors (npix, 3) — e.g. 151 MB in f32 at
+#     NSIDE=1024;
+# and the kernels become pure f32 gathers + arithmetic. Ring lookup is a
+# searchsorted against the (tiny) descending-z table, which is exact.
+
+class RingTables:
+    """Host-precomputed per-ring tables in a chosen device dtype."""
+
+    def __init__(self, nside, dtype=jnp.float32):
+        self.nside = nside
+        with jax.default_device(jax.devices("cpu")[0]):
+            rings = jnp.arange(1, 4 * nside)
+            z, start, npr, shift = ring_info(nside, rings)
+            theta = jnp.arccos(jnp.clip(z, -1, 1))
+        self.z = jnp.asarray(np.asarray(z), dtype=dtype)
+        self.neg_z = -self.z                      # ascending, for searches
+        self.theta = jnp.asarray(np.asarray(theta), dtype=dtype)
+        self.start = jnp.asarray(np.asarray(start), dtype=jnp.int32)
+        self.npr = jnp.asarray(np.asarray(npr), dtype=jnp.int32)
+        self.shift = jnp.asarray(np.asarray(shift), dtype=dtype)
+        self.dtype = dtype
+
+
+def _rt_flatten(rt):
+    return ((rt.z, rt.neg_z, rt.theta, rt.start, rt.npr, rt.shift),
+            (rt.nside, rt.dtype))
+
+
+def _rt_unflatten(aux, children):
+    rt = object.__new__(RingTables)
+    rt.nside, rt.dtype = aux
+    (rt.z, rt.neg_z, rt.theta, rt.start, rt.npr, rt.shift) = children
+    return rt
+
+
+jax.tree_util.register_pytree_node(RingTables, _rt_flatten, _rt_unflatten)
+
+
+def pixel_vectors(nside, dtype=jnp.float32):
+    """(npix, 3) pixel-center unit vectors, host-built in f64, cast."""
+    with jax.default_device(jax.devices("cpu")[0]):
+        vec = pix2vec(nside, jnp.arange(npix(nside)))
+        vec = np.asarray(vec)
+    return jnp.asarray(vec, dtype=dtype)
+
+
+def ring_above_tab(tables, z):
+    """Number of rings with z_ring >= z (0 = above the first ring)."""
+    return jnp.searchsorted(tables.neg_z, -z, side="right").astype(jnp.int32)
+
+
+def _ring_phi_neighbors_tab(tables, ring, phi):
+    """Two pixels bracketing phi in ring ``ring`` (1-based) + fraction."""
+    k = ring - 1
+    start = tables.start[k]
+    npr = tables.npr[k]
+    shift = tables.shift[k]
+    theta_r = tables.theta[k]
+    dphi = 2.0 * jnp.pi / npr.astype(tables.dtype)
+    t = phi / dphi - shift
+    j1 = jnp.floor(t).astype(jnp.int32)
+    frac = t - j1
+    p1 = start + jnp.mod(j1, npr)
+    p2 = start + jnp.mod(j1 + 1, npr)
+    return p1, p2, frac, theta_r
+
+
+def get_interp_weights_tab(tables, theta, phi):
+    """Table-based 4-neighbor bilinear weights (get_interp_weights
+    fast path; identical semantics)."""
+    n = tables.nside
+    z = jnp.cos(theta)
+    r1 = ring_above_tab(tables, z)
+    r2 = r1 + 1
+    at_npole = r1 < 1
+    at_spole = r2 > 4 * n - 1
+    r1c = jnp.clip(r1, 1, 4 * n - 1)
+    r2c = jnp.clip(r2, 1, 4 * n - 1)
+
+    p11, p12, f1, th1 = _ring_phi_neighbors_tab(tables, r1c, phi)
+    p21, p22, f2, th2 = _ring_phi_neighbors_tab(tables, r2c, phi)
+
+    denom = jnp.where(th2 > th1, th2 - th1, 1.0)
+    wt = jnp.clip((theta - th1) / denom, 0.0, 1.0)
+    wt = jnp.where(at_npole, 0.0, jnp.where(at_spole, 1.0, wt))
+
+    pix = jnp.stack([p11, p12, p21, p22], axis=-1)
+    w = jnp.stack([(1 - wt) * (1 - f1), (1 - wt) * f1,
+                   wt * (1 - f2), wt * f2], axis=-1)
+    return pix, w
+
+
+def disc_window_tab(tables, vec_table, theta0, phi0, radius, n_rings,
+                    n_phi):
+    """Table-based fixed-shape disc window (disc_window fast path; call
+    inside a jitted kernel — ``tables`` is closed over, not traced).
+
+    Returns (pix, valid, pvec): pixel indices, validity mask, and the
+    gathered pixel-center unit vectors (saves the caller a second gather).
+    """
+    n = tables.nside
+    dt = tables.dtype
+    cos_r = jnp.cos(radius)
+    v0 = ang2vec(theta0, phi0)
+
+    z_hi = jnp.cos(jnp.maximum(theta0 - radius, 0.0))
+    ring_lo = jnp.clip(ring_above_tab(tables, z_hi), 1, 4 * n - 1)
+    k = jnp.arange(n_rings, dtype=jnp.int32)
+    rings_raw = ring_lo[..., None] + k
+    ring_ok = rings_raw <= 4 * n - 1
+    rings = jnp.clip(rings_raw, 1, 4 * n - 1)
+
+    kk = rings - 1
+    z = tables.z[kk]
+    start = tables.start[kk]
+    npr = tables.npr[kk]
+    shift = tables.shift[kk]
+    dphi_pix = 2.0 * jnp.pi / npr.astype(dt)
+
+    st0 = jnp.sin(theta0)[..., None]
+    ct0 = jnp.cos(theta0)[..., None]
+    st = jnp.sqrt(jnp.maximum(1.0 - z * z, 1e-30))
+    cosdphi = (cos_r[..., None] - z * ct0) / (st * st0 + 1e-30)
+    no_overlap = cosdphi > 1.0
+
+    t = phi0[..., None] / dphi_pix - shift
+    j_center = jnp.round(t).astype(jnp.int32)
+    m = jnp.arange(n_phi, dtype=jnp.int32) - (n_phi // 2)
+    j = j_center[..., None] + m
+    jw = jnp.mod(j, npr[..., None])
+    pix = start[..., None] + jw
+
+    pvec = vec_table[pix]                              # (..., NR, NP, 3)
+    inside = jnp.einsum('...i,...i->...', pvec,
+                        v0[..., None, None, :]) >= cos_r[..., None, None]
+    valid = inside & ~no_overlap[..., None] & ring_ok[..., None]
+    span = jnp.minimum(npr[..., None], n_phi)
+    slot_ok = (m >= -(span // 2)) & (m < span - span // 2)
+    valid = valid & slot_ok
+    return pix, valid, pvec
+
+
 @partial(jax.jit, static_argnames=("nside", "n_rings", "n_phi"))
 def disc_window(nside, theta0, phi0, radius, n_rings, n_phi):
     """Fixed-shape pixel window covering a disc of angular ``radius``

@@ -62,6 +62,16 @@ def _chunk_for(n_rings, n_phi, halo_chunk, budget=4_000_000):
     return max(1, min(halo_chunk, budget // per_halo))
 
 
+def _quantize_dim(x):
+    """Round a window dimension up onto a coarse ladder so kernel shapes
+    (and therefore compiles) are reused across buckets and runs."""
+    if x <= 64:
+        return int(-(-x // 8) * 8)
+    if x <= 512:
+        return int(-(-x // 64) * 64)
+    return int(-(-x // 256) * 256)
+
+
 def _window_dims(nside, radius_max):
     """Static (n_rings, n_phi) bounds for discs up to ``radius_max``."""
     ring_h = np.pi / (4 * nside)            # ring spacing
@@ -69,8 +79,8 @@ def _window_dims(nside, radius_max):
     # worst-case phi width: disc at colatitude ~radius from pole has
     # dphi ~ pi; bound via radius/sin(theta_min) with theta_min ~ radius
     n_phi = int(np.ceil(2.5 * radius_max * 4 * nside / np.pi)) + 8
-    n_phi = min(n_phi, 4 * nside)
-    n_rings = min(n_rings, 4 * nside - 1)
+    n_phi = min(_quantize_dim(n_phi), 4 * nside)
+    n_rings = min(_quantize_dim(n_rings), 4 * nside - 1)
     return n_rings, n_phi
 
 
@@ -124,8 +134,9 @@ class DefaultRunner:
 @partial(jax.jit, static_argnames=("nside", "n_rings", "n_phi", "n_props",
                                    "use_rdelta", "chunk"))
 def _accumulate_shell_offsets(nside, n_rings, n_phi, n_props, use_rdelta,
-                              chunk, grids, table, eps_max,
-                              theta, phi, M, a, R_com, D, props, offsets):
+                              chunk, tables, vec_table, grids, table,
+                              eps_max, theta, phi, M, a, R_com, D, props,
+                              offsets):
     """Accumulate per-pixel 3D unit-vector offsets for a bucket of halos.
 
     Mirrors the reference per-halo loop (`HealpixRunner.py:291-331`):
@@ -133,25 +144,29 @@ def _accumulate_shell_offsets(nside, n_rings, n_phi, n_props, use_rdelta,
     comoving out, x a both ways), re-normalize to the unit sphere, add the
     unit-vector delta. Falls back to the 4 bilinear-neighbor pixels when
     the disc resolves fewer than 4 pixels (`:309-310`).
+
+    Geometry runs through precomputed ring/pixel tables in the compute
+    dtype (f32 on TPU) — no f64 emulation in the hot path.
     """
     H = theta.shape[0]
     n_chunks = H // chunk
 
     def one_halo(th0, ph0, M_h, a_h, Rc_h, D_h, pr_h):
         radius = eps_max * (Rc_h * a_h) / D_h
-        pix, valid = hpx.disc_window(nside, th0, ph0, radius,
-                                     n_rings, n_phi)
+        pix, valid, pvec = hpx.disc_window_tab(tables, vec_table, th0, ph0,
+                                               radius, n_rings, n_phi)
         pix = pix.reshape(-1)
         valid = valid.reshape(-1)
+        pvec = pvec.reshape(-1, 3)
 
         # <4-pixel fallback: replace window by the 4 interp neighbors
-        fb_pix, _ = hpx.get_interp_weights(nside, th0, ph0)
+        fb_pix, _ = hpx.get_interp_weights_tab(tables, th0, ph0)
         use_fb = jnp.sum(valid) < 4
         valid = valid & ~use_fb
         pix = jnp.concatenate([pix, fb_pix])
         valid = jnp.concatenate([valid, jnp.broadcast_to(use_fb, (4,))])
 
-        vec = hpx.pix2vec(nside, pix)                     # (W, 3)
+        vec = jnp.concatenate([pvec, vec_table[fb_pix]], axis=0)  # (W, 3)
         v0 = hpx.ang2vec(th0, ph0)
         pos = vec * D_h                                   # physical Mpc
         diff = pos - v0 * D_h
@@ -200,7 +215,7 @@ def _accumulate_shell_offsets(nside, n_rings, n_phi, n_props, use_rdelta,
 @partial(jax.jit, static_argnames=("nside", "n_rings", "n_phi", "n_props",
                                    "chunk"))
 def _accumulate_shell_paint(nside, n_rings, n_phi, n_props, chunk,
-                            grids, table, eps_max,
+                            tables, vec_table, grids, table, eps_max,
                             theta, phi, M, a, R_com, D, props, new_map):
     """Additive profile painting for a bucket of halos
     (`HealpixRunner.py:418-445`): windowed gather, tabulated
@@ -210,12 +225,11 @@ def _accumulate_shell_paint(nside, n_rings, n_phi, n_props, chunk,
 
     def one_halo(th0, ph0, M_h, a_h, Rc_h, D_h, pr_h):
         radius = eps_max * (Rc_h * a_h) / D_h
-        pix, valid = hpx.disc_window(nside, th0, ph0, radius,
-                                     n_rings, n_phi)
+        pix, valid, vec = hpx.disc_window_tab(tables, vec_table, th0, ph0,
+                                              radius, n_rings, n_phi)
         pix = pix.reshape(-1)
         valid = valid.reshape(-1)
-
-        vec = hpx.pix2vec(nside, pix)
+        vec = vec.reshape(-1, 3)
         v0 = hpx.ang2vec(th0, ph0)
         diff = (vec - v0) * D_h
         r_sep = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
@@ -243,15 +257,14 @@ def _accumulate_shell_paint(nside, n_rings, n_phi, n_props, chunk,
 
 
 @partial(jax.jit, static_argnames=("nside",))
-def _regrid_shell(nside, orig_map, offsets):
+def _regrid_shell(nside, tables, vec_table, orig_map, offsets):
     """Stage C: displace every pixel's unit vector, bilinear-redeposit the
     original mass (`HealpixRunner.py:333-341`)."""
-    p = jnp.arange(hpx.npix(nside))
-    vec = hpx.pix2vec(nside, p).astype(offsets.dtype) + offsets
+    vec = vec_table.astype(offsets.dtype) + offsets
     theta, phi = hpx.vec2ang(vec)
-    cpix, w = hpx.get_interp_weights(nside, theta, phi)
+    cpix, w = hpx.get_interp_weights_tab(tables, theta, phi)
     return regrid_healpix(hpx.npix(nside), orig_map,
-                          cpix.astype(jnp.int32), w.astype(orig_map.dtype),
+                          cpix, w.astype(orig_map.dtype),
                           dtype=orig_map.dtype)
 
 
@@ -300,6 +313,8 @@ class BaryonifyShell(DefaultRunner):
         dt = self.dtype
         table = model._table.astype(dt)
         grids = tuple(g.astype(dt) for g in model._grids)
+        tables = hpx.RingTables(nside, dtype=dt)
+        vec_table = hpx.pixel_vectors(nside, dtype=dt)
 
         offsets = jnp.zeros((hpx.npix(nside), 3), dtype=dt)
         for idx in _bucket_edges(arrs['radius'], self.n_buckets):
@@ -309,7 +324,7 @@ class BaryonifyShell(DefaultRunner):
             sub = _pad_to(sub, len(idx), chunk)
             offsets = _accumulate_shell_offsets(
                 nside, n_rings, n_phi, n_props, use_rdelta, chunk,
-                grids, table, float(self.epsilon_max),
+                tables, vec_table, grids, table, float(self.epsilon_max),
                 jnp.asarray(sub['theta'], dtype=dt),
                 jnp.asarray(sub['phi'], dtype=dt),
                 jnp.asarray(sub['M'], dtype=dt),
@@ -318,8 +333,8 @@ class BaryonifyShell(DefaultRunner):
                 jnp.asarray(sub['D'], dtype=dt),
                 jnp.asarray(sub['props'], dtype=dt), offsets)
 
-        new_map = _regrid_shell(nside, jnp.asarray(orig_map, dtype=dt),
-                                offsets)
+        new_map = _regrid_shell(nside, tables, vec_table,
+                                jnp.asarray(orig_map, dtype=dt), offsets)
         new_map = np.asarray(new_map, dtype=np.float64)
 
         new_sum, old_sum = new_map.sum(), orig_map.sum()
@@ -358,6 +373,8 @@ class PaintProfilesShell(DefaultRunner):
         dt = self.dtype
         table = model._ln2D.astype(dt)
         grids = tuple(g.astype(dt) for g in model._grids)
+        tables = hpx.RingTables(nside, dtype=dt)
+        vec_table = hpx.pixel_vectors(nside, dtype=dt)
         new_map = jnp.zeros(hpx.npix(nside), dtype=dt)
 
         for idx in _bucket_edges(arrs['radius'], self.n_buckets):
@@ -367,7 +384,7 @@ class PaintProfilesShell(DefaultRunner):
             sub = _pad_to(sub, len(idx), chunk)
             new_map = _accumulate_shell_paint(
                 nside, n_rings, n_phi, len(p_keys), chunk,
-                grids, table, float(self.epsilon_max),
+                tables, vec_table, grids, table, float(self.epsilon_max),
                 jnp.asarray(sub['theta'], dtype=dt),
                 jnp.asarray(sub['phi'], dtype=dt),
                 jnp.asarray(sub['M'], dtype=dt),
