@@ -127,10 +127,14 @@ class GridPixelApprox:
 
     def beam(self, k, R):
         kr = k * (2.0 * R)
-        kr_safe = jnp.where(kr > 0, kr, 1.0)
-        # spherical j1(x)/x = (sin x - x cos x)/x^3
-        j1_over = (jnp.sin(kr_safe) - kr_safe * jnp.cos(kr_safe)) / kr_safe**3
-        return jnp.where(kr > 0, 3.0 * j1_over, 1.0)
+        small = kr < 1e-2
+        kr_safe = jnp.where(small, 1.0, kr)
+        # 3 j1(x)/x = 3 (sin x - x cos x)/x^3; series branch avoids the
+        # catastrophic cancellation at small x
+        exact = 3.0 * (jnp.sin(kr_safe)
+                       - kr_safe * jnp.cos(kr_safe)) / kr_safe**3
+        series = 1.0 - kr * kr / 10.0
+        return jnp.where(small, series, exact)
 
     def real(self, k):
         R = np.cbrt(self.size**3 / (4.0 / 3.0 * np.pi))
