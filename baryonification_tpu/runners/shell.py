@@ -26,10 +26,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from contextlib import nullcontext
+
 from ..cosmology import Cosmology, MassDef
 from ..ops import healpix as hpx
 from ..ops.interp import ndlinear_interp
-from ..ops.scatter import regrid_healpix
+from ..ops.scatter_pallas import scatter_add_accum
+from ..utils import x64_disabled
 
 __all__ = ['DefaultRunner', 'BaryonifyShell', 'PaintProfilesShell',
            'PaintProfilesAnisShell']
@@ -204,8 +207,8 @@ def _accumulate_shell_offsets(nside, n_rings, n_phi, n_props, use_rdelta,
         pix, delta = jax.vmap(one_halo)(
             sl(theta), sl(phi), sl(M), sl(a), sl(R_com), sl(D),
             sl(props))
-        offs = offs.at[pix.reshape(-1).astype(jnp.int32)].add(
-            delta.reshape(-1, 3).astype(offs.dtype))
+        offs = scatter_add_accum(offs, pix.reshape(-1).astype(jnp.int32),
+                                 delta.reshape(-1, 3).astype(offs.dtype))
         return offs, None
 
     offsets, _ = jax.lax.scan(chunk_body, offsets, jnp.arange(n_chunks))
@@ -248,8 +251,8 @@ def _accumulate_shell_paint(nside, n_rings, n_phi, n_props, chunk,
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, idx * chunk, chunk)
         pix, paint = jax.vmap(one_halo)(
             sl(theta), sl(phi), sl(M), sl(a), sl(R_com), sl(D), sl(props))
-        m = m.at[pix.reshape(-1).astype(jnp.int32)].add(
-            paint.reshape(-1).astype(m.dtype))
+        m = scatter_add_accum(m, pix.reshape(-1).astype(jnp.int32),
+                              paint.reshape(-1, 1).astype(m.dtype))
         return m, None
 
     new_map, _ = jax.lax.scan(chunk_body, new_map, jnp.arange(n_chunks))
@@ -263,9 +266,12 @@ def _regrid_shell(nside, tables, vec_table, orig_map, offsets):
     vec = vec_table.astype(offsets.dtype) + offsets
     theta, phi = hpx.vec2ang(vec)
     cpix, w = hpx.get_interp_weights_tab(tables, theta, phi)
-    return regrid_healpix(hpx.npix(nside), orig_map,
-                          cpix, w.astype(orig_map.dtype),
-                          dtype=orig_map.dtype)
+    contrib = (w.astype(orig_map.dtype)
+               * orig_map[:, None]).reshape(-1, 1)
+    out = scatter_add_accum(jnp.zeros((hpx.npix(nside), 1),
+                                      dtype=orig_map.dtype),
+                            cpix.reshape(-1).astype(jnp.int32), contrib)
+    return out[:, 0]
 
 
 def _pad_to(arrs, n, chunk):
@@ -316,25 +322,33 @@ class BaryonifyShell(DefaultRunner):
         tables = hpx.RingTables(nside, dtype=dt)
         vec_table = hpx.pixel_vectors(nside, dtype=dt)
 
-        offsets = jnp.zeros((hpx.npix(nside), 3), dtype=dt)
-        for idx in _bucket_edges(arrs['radius'], self.n_buckets):
-            sub = {k: v[idx] for k, v in arrs.items()}
-            n_rings, n_phi = _window_dims(nside, float(sub['radius'].max()))
-            chunk = _chunk_for(n_rings, n_phi, self.halo_chunk)
-            sub = _pad_to(sub, len(idx), chunk)
-            offsets = _accumulate_shell_offsets(
-                nside, n_rings, n_phi, n_props, use_rdelta, chunk,
-                tables, vec_table, grids, table, float(self.epsilon_max),
-                jnp.asarray(sub['theta'], dtype=dt),
-                jnp.asarray(sub['phi'], dtype=dt),
-                jnp.asarray(sub['M'], dtype=dt),
-                jnp.asarray(sub['a'], dtype=dt),
-                jnp.asarray(sub['R_com'], dtype=dt),
-                jnp.asarray(sub['D'], dtype=dt),
-                jnp.asarray(sub['props'], dtype=dt), offsets)
+        # the f32 hot path (with its gridded Pallas scatters) must trace
+        # with x64 disabled; see utils.x64_disabled
+        hot_ctx = (x64_disabled() if dt == jnp.dtype('float32')
+                   else nullcontext())
+        with hot_ctx:
+            offsets = jnp.zeros((hpx.npix(nside), 3), dtype=dt)
+            for idx in _bucket_edges(arrs['radius'], self.n_buckets):
+                sub = {k: v[idx] for k, v in arrs.items()}
+                n_rings, n_phi = _window_dims(nside,
+                                              float(sub['radius'].max()))
+                chunk = _chunk_for(n_rings, n_phi, self.halo_chunk)
+                sub = _pad_to(sub, len(idx), chunk)
+                offsets = _accumulate_shell_offsets(
+                    nside, n_rings, n_phi, n_props, use_rdelta, chunk,
+                    tables, vec_table, grids, table,
+                    float(self.epsilon_max),
+                    jnp.asarray(sub['theta'], dtype=dt),
+                    jnp.asarray(sub['phi'], dtype=dt),
+                    jnp.asarray(sub['M'], dtype=dt),
+                    jnp.asarray(sub['a'], dtype=dt),
+                    jnp.asarray(sub['R_com'], dtype=dt),
+                    jnp.asarray(sub['D'], dtype=dt),
+                    jnp.asarray(sub['props'], dtype=dt), offsets)
 
-        new_map = _regrid_shell(nside, tables, vec_table,
-                                jnp.asarray(orig_map, dtype=dt), offsets)
+            new_map = _regrid_shell(nside, tables, vec_table,
+                                    jnp.asarray(orig_map, dtype=dt),
+                                    offsets)
         new_map = np.asarray(new_map, dtype=np.float64)
 
         new_sum, old_sum = new_map.sum(), orig_map.sum()
@@ -375,25 +389,30 @@ class PaintProfilesShell(DefaultRunner):
         grids = tuple(g.astype(dt) for g in model._grids)
         tables = hpx.RingTables(nside, dtype=dt)
         vec_table = hpx.pixel_vectors(nside, dtype=dt)
-        new_map = jnp.zeros(hpx.npix(nside), dtype=dt)
 
-        for idx in _bucket_edges(arrs['radius'], self.n_buckets):
-            sub = {k: v[idx] for k, v in arrs.items()}
-            n_rings, n_phi = _window_dims(nside, float(sub['radius'].max()))
-            chunk = _chunk_for(n_rings, n_phi, self.halo_chunk)
-            sub = _pad_to(sub, len(idx), chunk)
-            new_map = _accumulate_shell_paint(
-                nside, n_rings, n_phi, len(p_keys), chunk,
-                tables, vec_table, grids, table, float(self.epsilon_max),
-                jnp.asarray(sub['theta'], dtype=dt),
-                jnp.asarray(sub['phi'], dtype=dt),
-                jnp.asarray(sub['M'], dtype=dt),
-                jnp.asarray(sub['a'], dtype=dt),
-                jnp.asarray(sub['R_com'], dtype=dt),
-                jnp.asarray(sub['D'], dtype=dt),
-                jnp.asarray(sub['props'], dtype=dt), new_map)
+        hot_ctx = (x64_disabled() if dt == jnp.dtype('float32')
+                   else nullcontext())
+        with hot_ctx:
+            new_map = jnp.zeros((hpx.npix(nside), 1), dtype=dt)
+            for idx in _bucket_edges(arrs['radius'], self.n_buckets):
+                sub = {k: v[idx] for k, v in arrs.items()}
+                n_rings, n_phi = _window_dims(nside,
+                                              float(sub['radius'].max()))
+                chunk = _chunk_for(n_rings, n_phi, self.halo_chunk)
+                sub = _pad_to(sub, len(idx), chunk)
+                new_map = _accumulate_shell_paint(
+                    nside, n_rings, n_phi, len(p_keys), chunk,
+                    tables, vec_table, grids, table,
+                    float(self.epsilon_max),
+                    jnp.asarray(sub['theta'], dtype=dt),
+                    jnp.asarray(sub['phi'], dtype=dt),
+                    jnp.asarray(sub['M'], dtype=dt),
+                    jnp.asarray(sub['a'], dtype=dt),
+                    jnp.asarray(sub['R_com'], dtype=dt),
+                    jnp.asarray(sub['D'], dtype=dt),
+                    jnp.asarray(sub['props'], dtype=dt), new_map)
 
-        return np.asarray(new_map, dtype=np.float64)
+        return np.asarray(new_map, dtype=np.float64)[:, 0]
 
 
 class PaintProfilesAnisShell(PaintProfilesShell):

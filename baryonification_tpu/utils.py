@@ -8,9 +8,29 @@ Cosmology are plain arrays and always picklable.
 """
 
 import time
+from contextlib import contextmanager
 from functools import wraps
 
-__all__ = ['build_cosmodict', 'log_time', 'host_cpu_device']
+__all__ = ['build_cosmodict', 'log_time', 'host_cpu_device', 'x64_disabled']
+
+
+@contextmanager
+def x64_disabled():
+    """Temporarily disable jax_enable_x64.
+
+    The package enables x64 globally for fp64 table building, but Mosaic
+    fails to legalize *gridded* Pallas kernels when tracing under x64 —
+    so the f32 runner hot paths (which contain the Pallas scatter kernels)
+    trace and execute inside this context. jit caches key on the flag, so
+    consistently wrapping the hot path keeps caches warm.
+    """
+    import jax
+    prev = jax.config.jax_enable_x64
+    jax.config.update('jax_enable_x64', False)
+    try:
+        yield
+    finally:
+        jax.config.update('jax_enable_x64', prev)
 
 
 def build_cosmodict(cosmo):

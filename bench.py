@@ -16,6 +16,11 @@ import os
 import sys
 import time
 
+# persistent compile cache: the per-shape kernel compiles dominate cold
+# starts (especially through remote-compile TPU tunnels)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
 import numpy as np
 
 
