@@ -20,6 +20,8 @@ at the 12M-pixel scale.
 import jax
 import jax.numpy as jnp
 
+from .scatter_pallas import scatter_add_accum
+
 __all__ = ["regrid_healpix", "cic_deposit_2d", "cic_deposit_3d",
            "scatter_add_1d"]
 
@@ -39,8 +41,11 @@ def regrid_healpix(npix_out, parent_vals, child_pix, child_weights,
     child_pix   : (N, 4) destination pixel indices
     child_weights : (N, 4) weights (sum to 1 per row)
     """
-    contrib = child_weights * parent_vals[:, None]
-    return scatter_add_1d(npix_out, child_pix, contrib, dtype=dtype)
+    contrib = (child_weights * parent_vals[:, None]).reshape(-1, 1)
+    out = scatter_add_accum(jnp.zeros((npix_out, 1), dtype=dtype),
+                            child_pix.reshape(-1).astype(jnp.int32),
+                            contrib.astype(dtype))
+    return out[:, 0]
 
 
 def cic_deposit_2d(N, pos, vals, dtype=jnp.float64):
@@ -56,14 +61,19 @@ def cic_deposit_2d(N, pos, vals, dtype=jnp.float64):
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = x - x0
     fy = y - y0
-    grid = jnp.zeros((N, N), dtype=dtype)
     v = vals.astype(dtype)
+    idx_rows = []
+    val_rows = []
     for dx, wx in ((0, 1.0 - fx), (1, fx)):
         for dy, wy in ((0, 1.0 - fy), (1, fy)):
             xi = jnp.mod(x0 + dx, N)
             yi = jnp.mod(y0 + dy, N)
-            grid = grid.at[xi, yi].add(v * wx * wy)
-    return grid
+            idx_rows.append(xi * N + yi)
+            val_rows.append(v * wx * wy)
+    flat = scatter_add_accum(jnp.zeros((N * N, 1), dtype=dtype),
+                             jnp.concatenate(idx_rows),
+                             jnp.concatenate(val_rows)[:, None])
+    return flat[:, 0].reshape(N, N)
 
 
 def cic_deposit_3d(N, pos, vals, dtype=jnp.float64):
@@ -78,13 +88,18 @@ def cic_deposit_3d(N, pos, vals, dtype=jnp.float64):
     fx = x - x0
     fy = y - y0
     fz = z - z0
-    grid = jnp.zeros((N, N, N), dtype=dtype)
     v = vals.astype(dtype)
+    idx_rows = []
+    val_rows = []
     for dx, wx in ((0, 1.0 - fx), (1, fx)):
         for dy, wy in ((0, 1.0 - fy), (1, fy)):
             for dz, wz in ((0, 1.0 - fz), (1, fz)):
                 xi = jnp.mod(x0 + dx, N)
                 yi = jnp.mod(y0 + dy, N)
                 zi = jnp.mod(z0 + dz, N)
-                grid = grid.at[xi, yi, zi].add(v * wx * wy * wz)
-    return grid
+                idx_rows.append((xi * N + yi) * N + zi)
+                val_rows.append(v * wx * wy * wz)
+    flat = scatter_add_accum(jnp.zeros((N * N * N, 1), dtype=dtype),
+                             jnp.concatenate(idx_rows),
+                             jnp.concatenate(val_rows)[:, None])
+    return flat[:, 0].reshape(N, N, N)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from ..cosmology import Cosmology, MassDef
 from ..ops.interp import ndlinear_interp
 from ..ops.scatter import cic_deposit_2d, cic_deposit_3d
+from ..ops.scatter_pallas import scatter_add_accum
 
 __all__ = ['DefaultRunnerGrid', 'BaryonifyGrid', 'PaintProfilesGrid',
            'PaintProfilesAnisGrid']
@@ -173,7 +174,8 @@ def _accumulate_grid_offsets(Npix, half, n_props, use_rdelta, chunk, is2D,
         zz = sl(zs) if zs is not None else sl(xs)
         flat, dvec = jax.vmap(one_halo)(
             sl(xs), sl(ys), zz, sl(Ms), sl(Rs), sl(Rmats), sl(props))
-        offs = offs.at[flat.reshape(-1)].add(
+        offs = scatter_add_accum(
+            offs, flat.reshape(-1).astype(jnp.int32),
             dvec.reshape(-1, dvec.shape[-1]).astype(offs.dtype))
         return offs, None
 
@@ -235,7 +237,8 @@ def _accumulate_grid_paint(Npix, half, n_props, chunk, is2D,
         zz = sl(zs) if zs is not None else sl(xs)
         flat, paint = jax.vmap(one_halo)(
             sl(xs), sl(ys), zz, sl(Ms), sl(Rs), sl(Rmats), sl(props))
-        m = m.at[flat.reshape(-1)].add(paint.reshape(-1).astype(m.dtype))
+        m = scatter_add_accum(m, flat.reshape(-1).astype(jnp.int32),
+                              paint.reshape(-1, 1).astype(m.dtype))
         return m, None
 
     new_map, _ = jax.lax.scan(chunk_body, new_map, jnp.arange(n_chunks))
@@ -347,7 +350,7 @@ class PaintProfilesGrid(DefaultRunnerGrid):
         Nsize = np.clip(Nsize // 2 * 2, 2, len(gm.bins) // 2)
 
         dim = 2 if gm.is2D else 3
-        new_map = jnp.zeros(gm.Npix ** dim, dtype=jnp.float64)
+        new_map = jnp.zeros((gm.Npix ** dim, 1), dtype=jnp.float64)
         for idx in _nsize_buckets(Nsize, self.n_buckets):
             half = int(Nsize[idx].max() // 2)
             chunk = min(self.halo_chunk, len(idx))
@@ -366,7 +369,7 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                 jnp.asarray(pad(arrs['Rmat'][idx])),
                 jnp.asarray(pad(arrs['props'][idx])), new_map)
 
-        new_map = np.asarray(new_map)
+        new_map = np.asarray(new_map)[:, 0]
         if gm.is2D:
             return new_map.reshape(gm.Npix, gm.Npix)
         return new_map.reshape(gm.Npix, gm.Npix, gm.Npix)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..cosmology import Cosmology, MassDef
 from ..ops.interp import ndlinear_interp
+from ..ops.scatter_pallas import scatter_add_accum
 
 __all__ = ['DefaultRunnerSnapshot', 'BaryonifySnapshot']
 
@@ -137,8 +138,8 @@ def _accumulate_particle_offsets(K, P, n_cells, dim, chunk, n_props,
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, idx * chunk, chunk)
         pidx, off = jax.vmap(one_halo)(
             sl(xh), sl(Mh), sl(ah), sl(Rh), sl(props))
-        offs = offs.at[pidx.reshape(-1)].add(
-            off.reshape(-1, dim).astype(offs.dtype))
+        offs = scatter_add_accum(offs, pidx.reshape(-1).astype(jnp.int32),
+                                 off.reshape(-1, dim).astype(offs.dtype))
         return offs, None
 
     offsets, _ = jax.lax.scan(chunk_body, offsets, jnp.arange(n_chunks))
