@@ -160,7 +160,8 @@ class GriddedMap:
 
     Unlike the reference we do NOT precompute the full meshgrid / index
     cube (`io.py:456-463`) — the runner kernels compute coordinates on the
-    fly on device, which avoids holding O(Npix^3) host arrays.
+    fly on device, which avoids holding O(Npix^3) host arrays. ``grid``
+    and ``inds`` are provided as lazy properties for API compatibility.
     """
 
     def __init__(self, map=None, redshift=None, bins=None, cosmo=None):
@@ -177,6 +178,17 @@ class GriddedMap:
             assert (self.map.shape[0] == self.map.shape[1]
                     == self.map.shape[2]), "Maps have to be cubic"
         self.cosmo = _validate_cosmo(cosmo)
+
+    @property
+    def grid(self):
+        """Full coordinate meshgrid (lazy; reference `io.py:456-463`)."""
+        n = self.map.ndim
+        return np.meshgrid(*([self.bins] * n), indexing='ij')
+
+    @property
+    def inds(self):
+        """Flattened index cube (lazy; reference `io.py:463`)."""
+        return np.arange(self.map.size).reshape(self.map.shape)
 
     @property
     def data(self):

@@ -134,7 +134,7 @@ def sorted_scatter_add_pallas(acc, idx_sorted, vals_sorted,
     acc_ps = [jnp.pad(acc[:, c], (0, nb * B - Npix)).reshape(-1, 128)
               for c in range(C)]
 
-    edges = (jnp.arange(nb + 1, dtype=jnp.int64) * B).astype(
+    edges = (jnp.arange(nb + 1, dtype=jnp.int32) * B).astype(
         idx_sorted.dtype)
     row_start = jnp.searchsorted(idx_sorted, edges).astype(jnp.int32)
 
