@@ -130,6 +130,54 @@ def searchsorted_interp(xq, x, y):
     return jnp.interp(xq, x, y)
 
 
+def blend_table_radial(grids, table, scalar_coords):
+    """Blend a (z, M, r [, props...]) table down to one radial profile.
+
+    ``scalar_coords`` are per-halo scalars for every axis except r (axis
+    2). Returns the (Nr,) profile, NaN outside the non-r bounds. Combined
+    with :func:`radial_readout` this turns a 2^D-gather-per-point table
+    readout into a 1-D lerp per point — the fast path used by the runner
+    kernels.
+    """
+    other_axes = [0, 1] + list(range(3, len(grids)))
+    idxs, ws = [], []
+    inb = True
+    for ax, c in zip(other_axes, scalar_coords):
+        g = grids[ax]
+        i = jnp.clip(jnp.searchsorted(g, c, side="right") - 1, 0,
+                     g.shape[0] - 2)
+        t = (c - g[i]) / (g[i + 1] - g[i])
+        inb = inb & (c >= g[0]) & (c <= g[-1])
+        idxs.append(i)
+        ws.append(t)
+
+    n_other = len(other_axes)
+    prof = jnp.zeros_like(table, shape=table.shape[2:3])
+    for corner in range(2 ** n_other):
+        w = jnp.ones((), dtype=table.dtype)
+        ind = []
+        for d in range(n_other):
+            b = (corner >> d) & 1
+            ind.append(idxs[d] + b)
+            w = w * jnp.where(b, ws[d], 1.0 - ws[d])
+        sel = (ind[0], ind[1], slice(None)) + tuple(ind[2:])
+        prof = prof + w * table[sel]
+    return jnp.where(inb, prof, jnp.nan)
+
+
+def radial_readout(prof, lnr_grid, lnr):
+    """Linear interpolation of a radial profile on its uniform log grid,
+    NaN outside the range."""
+    g0 = lnr_grid[0]
+    dg = lnr_grid[1] - lnr_grid[0]
+    t = (lnr - g0) / dg
+    i = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, lnr_grid.shape[0] - 2)
+    w = t - i
+    out = (1.0 - w) * prof[i] + w * prof[i + 1]
+    inb = (lnr >= g0) & (lnr <= lnr_grid[-1])
+    return jnp.where(inb, out, jnp.nan)
+
+
 def ndlinear_interp(grids, values, coords, fill_value=jnp.nan):
     """Multilinear interpolation on a rectilinear N-D grid.
 

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..cosmology import Cosmology, MassDef
-from ..ops.interp import ndlinear_interp
+from ..ops.interp import blend_table_radial, radial_readout
 from ..ops.scatter import cic_deposit_2d, cic_deposit_3d
 from ..ops.scatter_pallas import scatter_add_accum
 
@@ -125,11 +125,10 @@ def _accumulate_grid_offsets(Npix, half, n_props, use_rdelta, chunk, is2D,
     def readout(r_com, M_h, R_h, pr_h):
         lnr = jnp.log(jnp.maximum(r_com, 1e-30))
         rad = lnr - jnp.log(R_h) if use_rdelta else lnr
-        ones = jnp.ones_like(lnr)
-        coords = [jnp.log(1.0 / a_scale) * ones, jnp.log(M_h) * ones, rad]
-        for pi in range(n_props):
-            coords.append(pr_h[pi] * ones)
-        d = ndlinear_interp(grids, table, tuple(coords))
+        scalars = [jnp.log(1.0 / a_scale), jnp.log(M_h)] \
+            + [pr_h[pi] for pi in range(n_props)]
+        prof_h = blend_table_radial(grids, table, scalars)
+        d = radial_readout(prof_h, grids[2], rad)
         d = jnp.where(r_com < eps_max * R_h, d, 0.0)
         return jnp.where(jnp.isfinite(d), d, 0.0)
 
@@ -194,12 +193,11 @@ def _accumulate_grid_paint(Npix, half, n_props, chunk, is2D,
     W = 2 * half
 
     def readout(r_com, M_h, pr_h):
-        ones = jnp.ones_like(r_com)
-        coords = [jnp.log(1.0 / a_scale) * ones, jnp.log(M_h) * ones,
-                  jnp.log(jnp.maximum(r_com, 1e-30))]
-        for pi in range(n_props):
-            coords.append(pr_h[pi] * ones)
-        return jnp.exp(ndlinear_interp(grids, table, tuple(coords)))
+        scalars = [jnp.log(1.0 / a_scale), jnp.log(M_h)] \
+            + [pr_h[pi] for pi in range(n_props)]
+        prof_h = blend_table_radial(grids, table, scalars)  # log-profile
+        return jnp.exp(radial_readout(
+            prof_h, grids[2], jnp.log(jnp.maximum(r_com, 1e-30))))
 
     if is2D:
         def one_halo(x_h, y_h, z_h, M_h, R_h, Rm_h, pr_h):

@@ -30,7 +30,8 @@ from contextlib import nullcontext
 
 from ..cosmology import Cosmology, MassDef
 from ..ops import healpix as hpx
-from ..ops.interp import ndlinear_interp
+from ..ops.interp import (ndlinear_interp, blend_table_radial,
+                          radial_readout)
 from ..ops.scatter_pallas import scatter_add_accum
 from ..utils import x64_disabled
 
@@ -183,8 +184,8 @@ def _accumulate_shell_offsets(nside, n_rings, n_phi, n_props, use_rdelta,
         rad = lnr - jnp.log(Rc_h) if use_rdelta else lnr
         scalars = [jnp.log(1.0 / a_h), jnp.log(M_h)] \
             + [pr_h[pi] for pi in range(n_props)]
-        prof_h = _halo_r_profile(grids, table, scalars)
-        d = _r_readout(prof_h, grids[2], rad)
+        prof_h = blend_table_radial(grids, table, scalars)
+        d = radial_readout(prof_h, grids[2], rad)
         d = jnp.where(r_com < eps_max * Rc_h, d, 0.0)
         d = jnp.where(jnp.isfinite(d), d, 0.0) * a_h      # physical
 
@@ -241,8 +242,8 @@ def _accumulate_shell_paint(nside, n_rings, n_phi, n_props, chunk,
         r_com = jnp.maximum(r_sep / a_h, 1e-30)
         scalars = [jnp.log(1.0 / a_h), jnp.log(M_h)] \
             + [pr_h[pi] for pi in range(n_props)]
-        prof_h = _halo_r_profile(grids, table, scalars)   # log-profile
-        paint = jnp.exp(_r_readout(prof_h, grids[2], jnp.log(r_com)))
+        prof_h = blend_table_radial(grids, table, scalars)  # log-profile
+        paint = jnp.exp(radial_readout(prof_h, grids[2], jnp.log(r_com)))
         paint = jnp.where(jnp.isfinite(paint) & valid, paint, 0.0)
         return jnp.where(valid, pix, 0), paint
 
@@ -271,54 +272,6 @@ def _regrid_shell(nside, tables, vec_table, orig_map, offsets):
                                       dtype=orig_map.dtype),
                             cpix.reshape(-1).astype(jnp.int32), contrib)
     return out[:, 0]
-
-
-def _halo_r_profile(grids, table, scalar_coords):
-    """Blend the table down to a single radial profile for one halo.
-
-    ``grids`` axes are (z, M, r [, props...]); ``scalar_coords`` supplies
-    the per-halo scalar coordinates for every axis except r. Returns the
-    blended (Nr,) profile (NaN-filled outside the non-r bounds), so the
-    per-pixel readout reduces to a 1-D interpolation — 2 gathers per pixel
-    instead of 2^D gathers plus searchsorted per pixel.
-    """
-    other_axes = [0, 1] + list(range(3, len(grids)))
-    idxs, ws = [], []
-    inb = True
-    for ax, c in zip(other_axes, scalar_coords):
-        g = grids[ax]
-        i = jnp.clip(jnp.searchsorted(g, c, side="right") - 1, 0,
-                     g.shape[0] - 2)
-        t = (c - g[i]) / (g[i + 1] - g[i])
-        inb = inb & (c >= g[0]) & (c <= g[-1])
-        idxs.append(i)
-        ws.append(t)
-
-    n_other = len(other_axes)
-    prof = jnp.zeros_like(table, shape=table.shape[2:3])
-    for corner in range(2 ** n_other):
-        w = jnp.ones((), dtype=table.dtype)
-        ind = []
-        for d in range(n_other):
-            b = (corner >> d) & 1
-            ind.append(idxs[d] + b)
-            w = w * jnp.where(b, ws[d], 1.0 - ws[d])
-        sel = (ind[0], ind[1], slice(None)) + tuple(ind[2:])
-        prof = prof + w * table[sel]
-    return jnp.where(inb, prof, jnp.nan)
-
-
-def _r_readout(prof, lnr_grid, lnr):
-    """1-D linear interpolation of a per-halo radial profile at lnr,
-    NaN outside the table range (grid is uniform in log r)."""
-    g0 = lnr_grid[0]
-    dg = lnr_grid[1] - lnr_grid[0]
-    t = (lnr - g0) / dg
-    i = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, lnr_grid.shape[0] - 2)
-    w = t - i
-    out = (1.0 - w) * prof[i] + w * prof[i + 1]
-    inb = (lnr >= g0) & (lnr <= lnr_grid[-1])
-    return jnp.where(inb, out, jnp.nan)
 
 
 def _pad_to(arrs, n, chunk):

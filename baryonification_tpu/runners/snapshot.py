@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..cosmology import Cosmology, MassDef
-from ..ops.interp import ndlinear_interp
+from ..ops.interp import blend_table_radial, radial_readout
 from ..ops.scatter_pallas import scatter_add_accum
 
 __all__ = ['DefaultRunnerSnapshot', 'BaryonifySnapshot']
@@ -121,11 +121,10 @@ def _accumulate_particle_offsets(K, P, n_cells, dim, chunk, n_props,
 
         lnr = jnp.log(jnp.maximum(r, 1e-30))
         rad = lnr - jnp.log(R_h) if use_rdelta else lnr
-        ones = jnp.ones_like(lnr)
-        coords = [jnp.log(1.0 / a_h) * ones, jnp.log(M_h) * ones, rad]
-        for pi in range(n_props):
-            coords.append(pr_h[pi] * ones)
-        d = ndlinear_interp(grids, table, tuple(coords))
+        scalars = [jnp.log(1.0 / a_h), jnp.log(M_h)] \
+            + [pr_h[pi] for pi in range(n_props)]
+        prof_h = blend_table_radial(grids, table, scalars)
+        d = radial_readout(prof_h, grids[2], rad)
         d = jnp.where(r < eps_max * R_h, d, 0.0)
         # displacement(d, M, a) * a — comoving table readout scaled to the
         # snapshot's coordinate convention (`SnapshotRunner.py:228,245`)
