@@ -136,12 +136,12 @@ class DefaultRunner:
 # ----- stage A+B kernel: windowed displacement accumulation -----
 
 @partial(jax.jit, static_argnames=("nside", "n_rings", "n_phi", "n_props",
-                                   "use_rdelta", "chunk"))
+                                   "use_rdelta"))
 def _accumulate_shell_offsets(nside, n_rings, n_phi, n_props, use_rdelta,
-                              chunk, tables, vec_table, grids, table,
+                              tables, vec_table, grids, table,
                               eps_max, theta, phi, M, a, R_com, D, props,
                               offsets):
-    """Accumulate per-pixel 3D unit-vector offsets for a bucket of halos.
+    """Accumulate per-pixel 3D unit-vector offsets for one chunk of halos.
 
     Mirrors the reference per-halo loop (`HealpixRunner.py:291-331`):
     query pixels, physical separations, displacement readout (comoving in,
@@ -150,10 +150,10 @@ def _accumulate_shell_offsets(nside, n_rings, n_phi, n_props, use_rdelta,
     the disc resolves fewer than 4 pixels (`:309-310`).
 
     Geometry runs through precomputed ring/pixel tables in the compute
-    dtype (f32 on TPU) — no f64 emulation in the hot path.
+    dtype (f32 on TPU) — no f64 emulation in the hot path. Chunks are
+    dispatched from the host (async): one jit per chunk keeps individual
+    kernels small and robust while the device stays saturated.
     """
-    H = theta.shape[0]
-    n_chunks = H // chunk
 
     def one_halo(th0, ph0, M_h, a_h, Rc_h, D_h, pr_h):
         radius = eps_max * (Rc_h * a_h) / D_h
@@ -204,29 +204,18 @@ def _accumulate_shell_offsets(nside, n_rings, n_phi, n_props, use_rdelta,
                            )[:, None], delta, 0.0)
         return jnp.where(valid, pix, 0), delta
 
-    def chunk_body(offs, idx):
-        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, idx * chunk, chunk)
-        pix, delta = jax.vmap(one_halo)(
-            sl(theta), sl(phi), sl(M), sl(a), sl(R_com), sl(D),
-            sl(props))
-        offs = scatter_add_accum(offs, pix.reshape(-1).astype(jnp.int32),
-                                 delta.reshape(-1, 3).astype(offs.dtype))
-        return offs, None
-
-    offsets, _ = jax.lax.scan(chunk_body, offsets, jnp.arange(n_chunks))
-    return offsets
+    pix, delta = jax.vmap(one_halo)(theta, phi, M, a, R_com, D, props)
+    return scatter_add_accum(offsets, pix.reshape(-1).astype(jnp.int32),
+                             delta.reshape(-1, 3).astype(offsets.dtype))
 
 
-@partial(jax.jit, static_argnames=("nside", "n_rings", "n_phi", "n_props",
-                                   "chunk"))
-def _accumulate_shell_paint(nside, n_rings, n_phi, n_props, chunk,
+@partial(jax.jit, static_argnames=("nside", "n_rings", "n_phi", "n_props"))
+def _accumulate_shell_paint(nside, n_rings, n_phi, n_props,
                             tables, vec_table, grids, table, eps_max,
                             theta, phi, M, a, R_com, D, props, new_map):
-    """Additive profile painting for a bucket of halos
+    """Additive profile painting for one chunk of halos
     (`HealpixRunner.py:418-445`): windowed gather, tabulated
     projected-profile readout at the comoving separation, scatter-add."""
-    H = theta.shape[0]
-    n_chunks = H // chunk
 
     def one_halo(th0, ph0, M_h, a_h, Rc_h, D_h, pr_h):
         radius = eps_max * (Rc_h * a_h) / D_h
@@ -247,16 +236,9 @@ def _accumulate_shell_paint(nside, n_rings, n_phi, n_props, chunk,
         paint = jnp.where(jnp.isfinite(paint) & valid, paint, 0.0)
         return jnp.where(valid, pix, 0), paint
 
-    def chunk_body(m, idx):
-        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, idx * chunk, chunk)
-        pix, paint = jax.vmap(one_halo)(
-            sl(theta), sl(phi), sl(M), sl(a), sl(R_com), sl(D), sl(props))
-        m = scatter_add_accum(m, pix.reshape(-1).astype(jnp.int32),
-                              paint.reshape(-1, 1).astype(m.dtype))
-        return m, None
-
-    new_map, _ = jax.lax.scan(chunk_body, new_map, jnp.arange(n_chunks))
-    return new_map
+    pix, paint = jax.vmap(one_halo)(theta, phi, M, a, R_com, D, props)
+    return scatter_add_accum(new_map, pix.reshape(-1).astype(jnp.int32),
+                             paint.reshape(-1, 1).astype(new_map.dtype))
 
 
 @partial(jax.jit, static_argnames=("nside",))
@@ -334,17 +316,20 @@ class BaryonifyShell(DefaultRunner):
                                               float(sub['radius'].max()))
                 chunk = _chunk_for(n_rings, n_phi, self.halo_chunk)
                 sub = _pad_to(sub, len(idx), chunk)
-                offsets = _accumulate_shell_offsets(
-                    nside, n_rings, n_phi, n_props, use_rdelta, chunk,
-                    tables, vec_table, grids, table,
-                    float(self.epsilon_max),
-                    jnp.asarray(sub['theta'], dtype=dt),
-                    jnp.asarray(sub['phi'], dtype=dt),
-                    jnp.asarray(sub['M'], dtype=dt),
-                    jnp.asarray(sub['a'], dtype=dt),
-                    jnp.asarray(sub['R_com'], dtype=dt),
-                    jnp.asarray(sub['D'], dtype=dt),
-                    jnp.asarray(sub['props'], dtype=dt), offsets)
+                H = len(sub['theta'])
+                for c0 in range(0, H, chunk):
+                    s = slice(c0, c0 + chunk)
+                    offsets = _accumulate_shell_offsets(
+                        nside, n_rings, n_phi, n_props, use_rdelta,
+                        tables, vec_table, grids, table,
+                        float(self.epsilon_max),
+                        jnp.asarray(sub['theta'][s], dtype=dt),
+                        jnp.asarray(sub['phi'][s], dtype=dt),
+                        jnp.asarray(sub['M'][s], dtype=dt),
+                        jnp.asarray(sub['a'][s], dtype=dt),
+                        jnp.asarray(sub['R_com'][s], dtype=dt),
+                        jnp.asarray(sub['D'][s], dtype=dt),
+                        jnp.asarray(sub['props'][s], dtype=dt), offsets)
 
             new_map = _regrid_shell(nside, tables, vec_table,
                                     jnp.asarray(orig_map, dtype=dt),
@@ -400,17 +385,20 @@ class PaintProfilesShell(DefaultRunner):
                                               float(sub['radius'].max()))
                 chunk = _chunk_for(n_rings, n_phi, self.halo_chunk)
                 sub = _pad_to(sub, len(idx), chunk)
-                new_map = _accumulate_shell_paint(
-                    nside, n_rings, n_phi, len(p_keys), chunk,
-                    tables, vec_table, grids, table,
-                    float(self.epsilon_max),
-                    jnp.asarray(sub['theta'], dtype=dt),
-                    jnp.asarray(sub['phi'], dtype=dt),
-                    jnp.asarray(sub['M'], dtype=dt),
-                    jnp.asarray(sub['a'], dtype=dt),
-                    jnp.asarray(sub['R_com'], dtype=dt),
-                    jnp.asarray(sub['D'], dtype=dt),
-                    jnp.asarray(sub['props'], dtype=dt), new_map)
+                H = len(sub['theta'])
+                for c0 in range(0, H, chunk):
+                    s = slice(c0, c0 + chunk)
+                    new_map = _accumulate_shell_paint(
+                        nside, n_rings, n_phi, len(p_keys),
+                        tables, vec_table, grids, table,
+                        float(self.epsilon_max),
+                        jnp.asarray(sub['theta'][s], dtype=dt),
+                        jnp.asarray(sub['phi'][s], dtype=dt),
+                        jnp.asarray(sub['M'][s], dtype=dt),
+                        jnp.asarray(sub['a'][s], dtype=dt),
+                        jnp.asarray(sub['R_com'][s], dtype=dt),
+                        jnp.asarray(sub['D'][s], dtype=dt),
+                        jnp.asarray(sub['props'][s], dtype=dt), new_map)
 
         return np.asarray(new_map, dtype=np.float64)[:, 0]
 
