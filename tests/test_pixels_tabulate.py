@@ -115,9 +115,10 @@ class TestTabulatedProfile:
         in this small test table)."""
         z_node = float(np.exp(tab.raw_input_z_range[2]) - 1)
         a_node = 1.0 / (1.0 + z_node)
+        M_node = float(np.exp(tab.raw_input_M_range[5]))
         r = np.geomspace(0.1, 3, 8)
-        got = np.asarray(tab.projected(cosmo, r, 1e14, a_node))
-        want = np.asarray(Gas(**PAR).projected(cosmo, r, 1e14,
+        got = np.asarray(tab.projected(cosmo, r, M_node, a_node))
+        want = np.asarray(Gas(**PAR).projected(cosmo, r, M_node,
                                                a_node)) * a_node
         np.testing.assert_allclose(got, want, rtol=2e-2)
 
