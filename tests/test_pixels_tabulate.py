@@ -110,21 +110,25 @@ class TestTabulatedProfile:
 
     def test_projected_includes_a(self, cosmo, tab):
         """Tabulated projected stores projected * a (the comoving ->
-        physical LoS conversion, `Tabulate.py:226`). Evaluate at a z node
-        so only the radial readout is tested (the z axis has just 4 nodes
-        in this small test table)."""
+        physical LoS conversion, `Tabulate.py:226`).
+
+        Raw-table parity is exact when the direct call uses the table's
+        own radii (the projection quadrature grid depends on the input
+        radii, so off-grid comparisons carry few-percent trapz noise —
+        same property as the reference, `Schneider19.py:225-233`).
+        """
         z_node = float(np.exp(tab.raw_input_z_range[2]) - 1)
         a_node = 1.0 / (1.0 + z_node)
+        r_table = np.exp(tab.raw_input_r_range)
+        want = np.asarray(Gas(**PAR).projected(
+            cosmo, r_table, np.exp(tab.raw_input_M_range), a_node)) * a_node
+        np.testing.assert_allclose(tab.raw_input_2D[2], want, rtol=1e-10)
+        # readout at the table nodes reproduces the stored values
         M_node = float(np.exp(tab.raw_input_M_range[5]))
-        # stay away from the steep theta_ej knee, where the projection
-        # quadrature itself differs at the few-percent level between the
-        # table build and the direct evaluation (same property as the
-        # reference's r-dependent integration grid, Schneider19.py:225-233)
-        r = np.geomspace(0.1, 1.5, 8)
-        got = np.asarray(tab.projected(cosmo, r, M_node, a_node))
-        want = np.asarray(Gas(**PAR).projected(cosmo, r, M_node,
-                                               a_node)) * a_node
-        np.testing.assert_allclose(got, want, rtol=2e-2)
+        got = np.asarray(tab.projected(cosmo, r_table[10:60:7], M_node,
+                                       a_node))
+        np.testing.assert_allclose(got, tab.raw_input_2D[2, 5, 10:60:7],
+                                   rtol=1e-6)
 
     def test_out_of_bounds_nan(self, cosmo, tab):
         out = np.asarray(tab.real(cosmo, np.array([100.0]), 1e14, 0.8))
