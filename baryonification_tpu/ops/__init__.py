@@ -1,3 +1,5 @@
-from . import fftlog, integrate, interp
+from . import fftlog, integrate, interp, healpix, scatter, spectra
+from . import scatter_pallas
 
-__all__ = ["fftlog", "integrate", "interp"]
+__all__ = ["fftlog", "integrate", "interp", "healpix", "scatter",
+           "scatter_pallas", "spectra"]
