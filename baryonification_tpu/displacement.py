@@ -235,6 +235,34 @@ class BaryonificationClass:
         self._table = jnp.asarray(table)
         self.Rdelta_sampling = use_rdelta
 
+    # ----- checkpointing -----
+    def save_table(self, path):
+        """Serialize the displacement table (plain npz — the TPU-era
+        analog of the reference's pickling discipline, `SURVEY.md` 5)."""
+        if not hasattr(self, '_table'):
+            raise NameError("No Table created. Run setup_interpolator() first")
+        np.savez(path, table=np.asarray(self._table),
+                 n_grids=len(self._grids),
+                 rdelta=int(self.Rdelta_sampling),
+                 p_keys=np.asarray(self.p_keys, dtype=object),
+                 **{f"grid{i}": np.asarray(g)
+                    for i, g in enumerate(self._grids)})
+
+    def load_table(self, path):
+        """Restore a table written by :meth:`save_table`."""
+        dat = np.load(path, allow_pickle=True)
+        self._table = jnp.asarray(dat["table"])
+        self._grids = tuple(jnp.asarray(dat[f"grid{i}"])
+                            for i in range(int(dat["n_grids"])))
+        self.Rdelta_sampling = bool(dat["rdelta"])
+        self.p_keys = list(dat["p_keys"])
+        # mirror the reference's raw_input_* attributes
+        self.raw_input_d = np.asarray(dat["table"])
+        self.raw_input_z_range = np.asarray(dat["grid0"])
+        self.raw_input_M_range = np.asarray(dat["grid1"])
+        self.raw_input_r_range = np.asarray(dat["grid2"])
+        return self
+
     # ----- readout -----
     def _readout(self, r, M, a, **kwargs):
         r_use = jnp.atleast_1d(jnp.asarray(r))

@@ -118,6 +118,22 @@ class DefaultRunner:
                 "use_ellipticity = True is not implemented for the "
                 "curved-sky runner (parity with HealpixRunner.py:164).")
 
+    def build_Rmat(self, A, ref):
+        """2x2 rotation aligning A with ref (API parity with the
+        reference's unused ellipticity helper, `HealpixRunner.py:168-197`).
+        """
+        A = np.asarray(A, dtype=float)
+        ref = np.asarray(ref, dtype=float)
+        A = A / np.linalg.norm(A)
+        ref = ref / np.linalg.norm(ref)
+        ang = np.arccos(np.clip(np.dot(A, ref), -1, 1))
+        return np.array([[np.cos(ang), -np.sin(ang)],
+                         [np.sin(ang), np.cos(ang)]])
+
+    def coord_array(self, *args):
+        """Flatten and stack coordinate arrays (`HealpixRunner.py:200-220`)."""
+        return np.vstack([np.asarray(a).flatten() for a in args]).T
+
     # ----- shared halo preprocessing -----
     def _halo_arrays(self, cosmo):
         cat = self.HaloLightConeCatalog.cat
@@ -310,10 +326,15 @@ class BaryonifyShell(DefaultRunner):
                    else nullcontext())
         with hot_ctx:
             offsets = jnp.zeros((hpx.npix(nside), 3), dtype=dt)
-            for idx in _bucket_edges(arrs['radius'], self.n_buckets):
+            buckets = _bucket_edges(arrs['radius'], self.n_buckets)
+            for bi, idx in enumerate(buckets):
                 sub = {k: v[idx] for k, v in arrs.items()}
                 n_rings, n_phi = _window_dims(nside,
                                               float(sub['radius'].max()))
+                if self.verbose:
+                    print(f"Baryonifying matter: bucket {bi + 1}/"
+                          f"{len(buckets)} ({len(idx)} halos, window "
+                          f"{n_rings}x{n_phi})")
                 chunk = _chunk_for(n_rings, n_phi, self.halo_chunk)
                 sub = _pad_to(sub, len(idx), chunk)
                 H = len(sub['theta'])
@@ -379,10 +400,15 @@ class PaintProfilesShell(DefaultRunner):
                    else nullcontext())
         with hot_ctx:
             new_map = jnp.zeros((hpx.npix(nside), 1), dtype=dt)
-            for idx in _bucket_edges(arrs['radius'], self.n_buckets):
+            buckets = _bucket_edges(arrs['radius'], self.n_buckets)
+            for bi, idx in enumerate(buckets):
                 sub = {k: v[idx] for k, v in arrs.items()}
                 n_rings, n_phi = _window_dims(nside,
                                               float(sub['radius'].max()))
+                if self.verbose:
+                    print(f"Painting Profile: bucket {bi + 1}/"
+                          f"{len(buckets)} ({len(idx)} halos, window "
+                          f"{n_rings}x{n_phi})")
                 chunk = _chunk_for(n_rings, n_phi, self.halo_chunk)
                 sub = _pad_to(sub, len(idx), chunk)
                 H = len(sub['theta'])

@@ -55,21 +55,14 @@ def main():
     model = Baryonification2D(DarkMatterOnly(**par), DarkMatterBaryon(**par),
                               cosmo, epsilon_max=eps_max)
     if os.path.exists(cache):
-        import jax.numpy as jnp
-        dat = np.load(cache)
-        model.p_keys = []
-        model._grids = tuple(jnp.asarray(dat[f"g{i}"]) for i in range(3))
-        model._table = jnp.asarray(dat["table"])
-        model.Rdelta_sampling = False
+        model.load_table(cache)
     else:
         t0 = time.time()
         model.setup_interpolator(z_min=0.05, z_max=1.2, N_samples_z=12,
                                  M_min=1e12, M_max=1e16, N_samples_Mass=24,
                                  R_min=1e-3, R_max=1e2, N_samples_R=100)
         print(f"# table build: {time.time() - t0:.1f}s", file=sys.stderr)
-        np.savez(cache, table=np.asarray(model._table),
-                 **{f"g{i}": np.asarray(g)
-                    for i, g in enumerate(model._grids)})
+        model.save_table(cache)
 
     # ---- synthetic catalog + shell ----
     rng = np.random.default_rng(7)
