@@ -30,8 +30,7 @@ from contextlib import nullcontext
 
 from ..cosmology import Cosmology, MassDef
 from ..ops import healpix as hpx
-from ..ops.interp import (ndlinear_interp, blend_table_radial,
-                          radial_readout)
+from ..ops.interp import blend_table_radial, radial_readout
 from ..ops.scatter_pallas import scatter_add_accum
 from ..utils import x64_disabled
 
