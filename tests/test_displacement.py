@@ -53,6 +53,56 @@ class TestInversion:
         np.testing.assert_allclose(np.asarray(off), 0.0)
 
 
+class TestScipyParity:
+    def test_inversion_matches_scipy_pipeline(self, cosmo):
+        """The fixed-shape masked inversion reproduces a direct scipy
+        re-implementation of the reference's algorithm
+        (`BaryonCorrection.py:237-284`) on real DMO/DMB mass profiles."""
+        from scipy.interpolate import PchipInterpolator
+
+        DMO = DarkMatterOnly(**PAR)
+        DMB = DarkMatterBaryon(**PAR)
+        model = Baryonification3D(DMO, DMB, cosmo, epsilon_max=20)
+
+        r = np.geomspace(1e-3, 1e2, 100)
+        M_dmo = np.asarray(model.get_masses(DMO, r, np.array([1e14]),
+                                            0.8))[0]
+        M_dmb = np.asarray(model.get_masses(DMB, r, np.array([1e14]),
+                                            0.8))[0]
+
+        # ---- scipy path (reference masking semantics) ----
+        ln_DMB, ln_DMO = np.log(M_dmb), np.log(M_dmo)
+        diff_mask = np.ones_like(ln_DMB, dtype=bool)
+        for _ in range(30):
+            new_mask = ((np.diff(ln_DMB[diff_mask], prepend=0) > 1e-5)
+                        & ((np.abs(ln_DMB - ln_DMO)[diff_mask] > 1e-6)
+                           | np.isnan(ln_DMO)[diff_mask])
+                        & np.isfinite(ln_DMB)[diff_mask])
+            prev = diff_mask.copy()
+            diff_mask[diff_mask] = new_mask
+            diff_mask[0] = True
+            if np.array_equal(prev, diff_mask):
+                break
+        fini_mask = ((np.diff(ln_DMO, prepend=0) > 1e-5)
+                     & ((np.abs(ln_DMB - ln_DMO) > 1e-6)
+                        | np.isnan(ln_DMB))
+                     & np.isfinite(ln_DMO))
+        i_dmb = PchipInterpolator(ln_DMB[diff_mask], np.log(r)[diff_mask],
+                                  extrapolate=False)
+        i_dmo = PchipInterpolator(np.log(r)[fini_mask], ln_DMO[fini_mask],
+                                  extrapolate=False)
+        want = np.exp(i_dmb(i_dmo(np.log(r)))) - r
+        want = np.where(np.isfinite(want), want, 0.0)
+
+        # ---- jitted fixed-shape path ----
+        got, ok = _invert_mass_profile(jnp.asarray(np.log(r)),
+                                       jnp.asarray(ln_DMO),
+                                       jnp.asarray(ln_DMB))
+        got = np.asarray(got)
+        assert bool(ok)
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
+
+
 @pytest.fixture(scope="module")
 def bfc3(cosmo):
     DMO = DarkMatterOnly(**PAR)
