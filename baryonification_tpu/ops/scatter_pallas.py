@@ -61,8 +61,10 @@ def _make_kernel(C, T, B):
             acc_refs[c][:] = acc_in_refs[c][:]
 
         start_al = jax.lax.div(start, jnp.int32(T)) * jnp.int32(T)
-        num_tiles = jax.lax.div(end - start_al + jnp.int32(T - 1),
-                                jnp.int32(T))
+        num_tiles = jnp.where(
+            end > start,
+            jax.lax.div(end - start_al + jnp.int32(T - 1), jnp.int32(T)),
+            jnp.int32(0))
 
         # output-position codes for the one-hot compare:
         # o[u, l2, 1] = u * 128 + l2, broadcast against one tile sublane
@@ -75,15 +77,17 @@ def _make_kernel(C, T, B):
             g0 = start_al + t.astype(jnp.int32) * jnp.int32(T)
             s0 = jax.lax.div(g0, jnp.int32(128))
 
-            cp = pltpu.make_async_copy(idx_ref.at[pl.ds(s0, TS)], idx_vm,
-                                       sem)
-            cp.start()
-            cp.wait()
-            for c in range(C):
-                cpv = pltpu.make_async_copy(val_refs[c].at[pl.ds(s0, TS)],
-                                            val_vms[c], sem)
-                cpv.start()
-                cpv.wait()
+            # issue all row DMAs, then wait (overlapped latencies; one
+            # semaphore slot per copy)
+            copies = [pltpu.make_async_copy(idx_ref.at[pl.ds(s0, TS)],
+                                            idx_vm, sem.at[0])]
+            copies += [pltpu.make_async_copy(val_refs[c].at[pl.ds(s0, TS)],
+                                             val_vms[c], sem.at[c + 1])
+                       for c in range(C)]
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
 
             # global row number of each tile element (row-major in the
             # packed layout), to mask rows outside [start, end)
@@ -155,7 +159,7 @@ def sorted_scatter_add_pallas(acc, idx_sorted, vals_sorted,
         scratch_shapes=(
             [pltpu.VMEM((TS, 128), jnp.int32)]
             + [pltpu.VMEM((TS, 128), vals_sorted.dtype)] * C
-            + [pltpu.SemaphoreType.DMA]
+            + [pltpu.SemaphoreType.DMA((C + 1,))]
         ),
     )
 
@@ -176,7 +180,11 @@ def scatter_add_accum(acc, idx, vals, block_rows=1024, tile_rows=1024):
     Pallas fast path on TPU; XLA ``.at[].add`` elsewhere. Out-of-range
     indices (>= Npix) are dropped — callers use Npix as the mask sentinel.
     """
-    if jax.default_backend() == "cpu":
+    # Pallas path requires (a) a TPU backend and (b) tracing with x64
+    # disabled — Mosaic fails to legalize gridded kernels traced under
+    # jax_enable_x64 (the shell runners wrap their f32 hot paths in
+    # utils.x64_disabled for exactly this reason).
+    if jax.default_backend() == "cpu" or jax.config.jax_enable_x64:
         Npix = acc.shape[0]
         ok = idx < Npix
         safe = jnp.where(ok, idx, 0)

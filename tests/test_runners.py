@@ -157,6 +157,40 @@ class TestPaintShell:
             SplitJoinParallel(runner, njobs=2)
 
 
+class TestPerHaloProps:
+    def test_baryonify_with_property_column(self, shell_setup, cosmo):
+        """Displacement tables with extra parameter axes consume per-halo
+        catalog columns (the ParamTabulatedProfile contract,
+        `HealpixRunner.py:284-287`)."""
+        model = Baryonification3D(DarkMatterOnly(**PAR),
+                                  DarkMatterBaryon(**PAR), cosmo,
+                                  epsilon_max=20)
+        model.setup_interpolator(
+            z_min=0.05, z_max=0.6, N_samples_z=3,
+            M_min=1e13, M_max=1e15, N_samples_Mass=4,
+            R_min=1e-3, R_max=70, N_samples_R=48,
+            other_params={'theta_ej': np.array([2.0, 4.0, 8.0])})
+
+        cat0, shell = shell_setup
+        rng = np.random.default_rng(42)
+        te = rng.uniform(2.5, 7.5, len(cat0))
+        cat = HaloLightConeCatalog(ra=cat0.cat['ra'], dec=cat0.cat['dec'],
+                                   M=cat0.cat['M'], z=cat0.cat['z'],
+                                   cosmo=COSMO_DICT, theta_ej=te)
+        runner = BaryonifyShell(cat, shell, epsilon_max=20, model=model)
+        out = runner.process()
+        assert np.isclose(out.sum(), shell.map.sum(), rtol=1e-8)
+
+        # different column values change the result
+        cat2 = HaloLightConeCatalog(ra=cat0.cat['ra'], dec=cat0.cat['dec'],
+                                    M=cat0.cat['M'], z=cat0.cat['z'],
+                                    cosmo=COSMO_DICT,
+                                    theta_ej=np.full(len(cat0), 2.0))
+        out2 = BaryonifyShell(cat2, shell, epsilon_max=20,
+                              model=model).process()
+        assert not np.allclose(out, out2)
+
+
 @pytest.fixture(scope="module")
 def grid_setup_2d():
     rng = np.random.default_rng(12)
