@@ -93,7 +93,8 @@ class DefaultRunner:
 
     def __init__(self, HaloLightConeCatalog, LightconeShell, epsilon_max,
                  model, use_ellipticity=False, mass_def=None, verbose=True,
-                 halo_chunk=256, n_buckets=8, precision="auto"):
+                 halo_chunk=256, n_buckets=8, precision="auto",
+                 method="auto"):
         self.HaloLightConeCatalog = HaloLightConeCatalog
         self.LightconeShell = LightconeShell
         self.cosmo = HaloLightConeCatalog.cosmology
@@ -112,6 +113,14 @@ class DefaultRunner:
             precision = ("float64" if jax.default_backend() == "cpu"
                          else "float32")
         self.dtype = jnp.dtype(precision)
+        # 'gather' = pixel-major dense pass (TPU-native, no sort/scatter
+        # in the hot loop); 'scatter' = halo-major windows + Pallas/XLA
+        # scatter (exact reference-loop semantics incl. the <4-pixel
+        # fallback). auto: gather on accelerators, scatter on CPU.
+        if method == "auto":
+            method = ("scatter" if jax.default_backend() == "cpu"
+                      else "gather")
+        self.method = method
         if use_ellipticity:
             raise NotImplementedError(
                 "use_ellipticity = True is not implemented for the "
@@ -132,6 +141,40 @@ class DefaultRunner:
     def coord_array(self, *args):
         """Flatten and stack coordinate arrays (`HealpixRunner.py:200-220`)."""
         return np.vstack([np.asarray(a).flatten() for a in args]).T
+
+    # ----- gather-path helpers -----
+    @staticmethod
+    def _pixel_block(npix, target=1 << 18):
+        n_blocks = max(1, -(-npix // target))
+        while npix % n_blocks:
+            n_blocks += 1
+        return npix // n_blocks
+
+    def _cells_of_pixels(self, nside_c, vec_table):
+        """Coarse cell id of every fine pixel (cached per nside_c)."""
+        cache = getattr(self, '_cell_cache', None)
+        if cache is None:
+            cache = {}
+            self._cell_cache = cache
+        if nside_c not in cache:
+            theta, phi = hpx.vec2ang(vec_table)
+            cache[nside_c] = hpx.ang2pix(nside_c, theta,
+                                         phi).astype(jnp.int32)
+        return cache[nside_c]
+
+    def _halo_profiles(self, grids, table, sub, dt, n_props):
+        """Per-halo blended radial table rows (H, Nr)."""
+        from ..ops.interp import blend_table_radial
+        sc_cols = [np.log(1.0 / sub['a']), np.log(sub['M'])]
+        sc_cols += [sub['props'][:, i] for i in range(n_props)]
+        sc = jnp.asarray(np.stack(sc_cols, axis=-1), dtype=dt)
+        n_sc = 2 + n_props
+
+        def bp(row):
+            return blend_table_radial(grids, table,
+                                      [row[i] for i in range(n_sc)])
+
+        return jax.jit(jax.vmap(bp))(sc)
 
     # ----- shared halo preprocessing -----
     def _halo_arrays(self, cosmo):
@@ -326,10 +369,37 @@ class BaryonifyShell(DefaultRunner):
         with hot_ctx:
             offsets = jnp.zeros((hpx.npix(nside), 3), dtype=dt)
             buckets = _bucket_edges(arrs['radius'], self.n_buckets)
+            block = self._pixel_block(hpx.npix(nside))
             for bi, idx in enumerate(buckets):
                 sub = {k: v[idx] for k, v in arrs.items()}
-                n_rings, n_phi = _window_dims(nside,
-                                              float(sub['radius'].max()))
+                r_b = float(sub['radius'].max())
+                if self.method == "gather":
+                    from . import shell_gather as sg
+                    nside_c = sg.pick_coarse_nside(r_b, nside)
+                    hids, cell_start, K = sg.coarse_halo_index(
+                        nside_c, jnp.asarray(sub['theta'], dtype=dt),
+                        jnp.asarray(sub['phi'], dtype=dt),
+                        jnp.asarray(sub['radius'], dtype=dt), dtype=dt)
+                    if self.verbose:
+                        print(f"Baryonifying matter: bucket {bi + 1}/"
+                              f"{len(buckets)} ({len(idx)} halos, "
+                              f"nside_c={nside_c}, K={K})")
+                    cells = self._cells_of_pixels(nside_c, vec_table)
+                    prof = self._halo_profiles(grids, table, sub, dt,
+                                               n_props)
+                    v0 = hpx.ang2vec(jnp.asarray(sub['theta'], dtype=dt),
+                                     jnp.asarray(sub['phi'], dtype=dt))
+                    offsets = sg.gather_offsets_pass(
+                        K, use_rdelta, block, cells, vec_table, hids,
+                        cell_start, v0,
+                        jnp.asarray(sub['D'], dtype=dt),
+                        jnp.asarray(sub['a'], dtype=dt),
+                        jnp.asarray(sub['R_com'], dtype=dt),
+                        jnp.asarray(np.log(sub['R_com']), dtype=dt),
+                        prof, grids[2], float(self.epsilon_max), offsets)
+                    continue
+
+                n_rings, n_phi = _window_dims(nside, r_b)
                 if self.verbose:
                     print(f"Baryonifying matter: bucket {bi + 1}/"
                           f"{len(buckets)} ({len(idx)} halos, window "
@@ -400,10 +470,37 @@ class PaintProfilesShell(DefaultRunner):
         with hot_ctx:
             new_map = jnp.zeros((hpx.npix(nside), 1), dtype=dt)
             buckets = _bucket_edges(arrs['radius'], self.n_buckets)
+            block = self._pixel_block(hpx.npix(nside))
             for bi, idx in enumerate(buckets):
                 sub = {k: v[idx] for k, v in arrs.items()}
-                n_rings, n_phi = _window_dims(nside,
-                                              float(sub['radius'].max()))
+                r_b = float(sub['radius'].max())
+                if self.method == "gather":
+                    from . import shell_gather as sg
+                    nside_c = sg.pick_coarse_nside(r_b, nside)
+                    hids, cell_start, K = sg.coarse_halo_index(
+                        nside_c, jnp.asarray(sub['theta'], dtype=dt),
+                        jnp.asarray(sub['phi'], dtype=dt),
+                        jnp.asarray(sub['radius'], dtype=dt), dtype=dt)
+                    if self.verbose:
+                        print(f"Painting Profile: bucket {bi + 1}/"
+                              f"{len(buckets)} ({len(idx)} halos, "
+                              f"nside_c={nside_c}, K={K})")
+                    cells = self._cells_of_pixels(nside_c, vec_table)
+                    prof = self._halo_profiles(grids, table, sub, dt,
+                                               len(p_keys))
+                    v0 = hpx.ang2vec(jnp.asarray(sub['theta'], dtype=dt),
+                                     jnp.asarray(sub['phi'], dtype=dt))
+                    flat = sg.gather_paint_pass(
+                        K, block, cells, vec_table, hids, cell_start, v0,
+                        jnp.asarray(sub['D'], dtype=dt),
+                        jnp.asarray(sub['a'], dtype=dt),
+                        jnp.asarray(sub['R_com'], dtype=dt),
+                        prof, grids[2], float(self.epsilon_max),
+                        new_map[:, 0])
+                    new_map = flat[:, None]
+                    continue
+
+                n_rings, n_phi = _window_dims(nside, r_b)
                 if self.verbose:
                     print(f"Painting Profile: bucket {bi + 1}/"
                           f"{len(buckets)} ({len(idx)} halos, window "

@@ -1,0 +1,215 @@
+"""Pixel-major (gather) kernels for the shell runners.
+
+The scatter formulation (runners/shell.py) mirrors the reference's
+halo-major loop: every halo pushes its window of pixels, and conflicting
+writes meet in a scatter-add. On TPU the sort+scatter step dominates. This
+module inverts the loop — the TPU-native formulation:
+
+  1. bucket halos by angular radius (as before);
+  2. per bucket, register each halo in every coarse HEALPix cell its disc
+     touches (cell size ~ the bucket's max radius), building cell -> halo
+     lists with one small sort;
+  3. one dense pass over all fine pixels: each pixel gathers its cell's
+     candidate halos (fixed K slots, masked), evaluates separations +
+     per-halo radial profiles, and REDUCES on the spot.
+
+Every output is written exactly once (dense), all memory access is
+gather-side, and there is no sort or scatter over per-pixel rows at all.
+The displacement semantics match the halo-major path up to the chord-vs-
+arc sliver at the epsilon_max boundary, where d ~ 0 (same class of edge
+convention as the reference's query_disc radius vs readout cutoff,
+`HealpixRunner.py:306` vs `BaryonCorrection.py:381`).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import healpix as hpx
+from ..ops.interp import blend_table_radial, radial_readout
+
+__all__ = ["coarse_halo_index", "gather_offsets_pass", "gather_paint_pass"]
+
+
+def pick_coarse_nside(radius_max, nside):
+    """Coarse grid with cell size ~ the bucket's max disc radius."""
+    resol_target = max(radius_max, 1e-4)
+    n = int(2 ** np.round(np.log2(np.sqrt(np.pi / 3.0) / resol_target)))
+    return int(np.clip(n, 1, nside))
+
+
+def coarse_halo_index(nside_c, theta, phi, radius, dtype=jnp.float32):
+    """Register halos in every coarse cell their disc may touch.
+
+    Returns (halo_ids_sorted, cell_start) over the nc = 12 nside_c^2
+    cells, plus K = max halos per cell. Registration uses the halo radius
+    plus 1.5 cell resolutions of margin, so a fine pixel's own cell always
+    lists every halo that can reach it.
+    """
+    H = theta.shape[0]
+    resol_c = hpx.nside2resol(nside_c)
+    radius_reg = radius + 1.5 * resol_c
+
+    r_max = float(jnp.max(radius_reg))
+    n_rings = int(np.ceil(2 * r_max / (np.pi / (4 * nside_c)))) + 4
+    n_phi = int(np.ceil(2.5 * r_max * 4 * nside_c / np.pi)) + 8
+    n_rings = min(n_rings, 4 * nside_c - 1)
+    n_phi = min(n_phi, 4 * nside_c)
+
+    tables_c = hpx.RingTables(nside_c, dtype=dtype)
+    vec_c = hpx.pixel_vectors(nside_c, dtype=dtype)
+
+    def one(th0, ph0, rr):
+        cells, valid, _ = hpx.disc_window_tab(tables_c, vec_c, th0, ph0,
+                                              rr, n_rings, n_phi)
+        return cells.reshape(-1), valid.reshape(-1)
+
+    cells, valid = jax.vmap(one)(theta.astype(dtype), phi.astype(dtype),
+                                 radius_reg.astype(dtype))
+    nc = hpx.npix(nside_c)
+    cells = jnp.where(valid, cells, nc).reshape(-1).astype(jnp.int32)
+    hids = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[:, None],
+                            valid.shape).reshape(-1)
+
+    order = jnp.argsort(cells)
+    cells_s = cells[order]
+    hids_s = hids[order]
+    cell_start = jnp.searchsorted(cells_s,
+                                  jnp.arange(nc + 1, dtype=jnp.int32)
+                                  ).astype(jnp.int32)
+    counts = cell_start[1:] - cell_start[:-1]
+    K = int(jnp.max(counts))
+    return hids_s, cell_start, K
+
+
+@partial(jax.jit, static_argnames=("use_rdelta", "block"))
+def gather_offsets_pass(K, use_rdelta, block, cell_of_pixel, vec_table,
+                        hids_sorted, cell_start,
+                        v0, D, a, R_com, lnR, profiles, lnr_grid,
+                        eps_max, offsets):
+    """One dense pixel pass for a bucket: offsets[p] += sum over the
+    pixel's candidate halos of the displacement unit-vector delta.
+
+    profiles : (H, Nr) per-halo blended radial displacement tables
+    (comoving d(r) at lnr_grid nodes). K (max candidates per cell) is a
+    traced scalar — one compile per block shape.
+    """
+    npix = cell_of_pixel.shape[0]
+    n_blocks = npix // block
+    dt = offsets.dtype
+
+    def one_block(b):
+        s = b * block
+        pvec = jax.lax.dynamic_slice_in_dim(vec_table, s, block)  # (B,3)
+        cells = jax.lax.dynamic_slice_in_dim(cell_of_pixel, s, block)
+        start = cell_start[cells]                                  # (B,)
+        count = cell_start[cells + 1] - start
+
+        def k_body(k, acc):
+            ok = k < count
+            hid = hids_sorted[jnp.where(ok, start + k, 0)]
+            hv0 = v0[hid]                  # (B, 3)
+            hD = D[hid]
+            ha = a[hid]
+            hR = R_com[hid]
+            hlnR = lnR[hid]
+
+            pos = pvec * hD[:, None]
+            diff = pos - hv0 * hD[:, None]
+            r_sep = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+            r_com = r_sep / ha
+            lnr = jnp.log(jnp.maximum(r_com, 1e-30))
+            rad = lnr - hlnR if use_rdelta else lnr
+
+            # radial readout from the halo's own profile row (2 gathers)
+            g0 = lnr_grid[0]
+            dg = lnr_grid[1] - lnr_grid[0]
+            t = (rad - g0) / dg
+            i = jnp.clip(jnp.floor(t).astype(jnp.int32), 0,
+                         lnr_grid.shape[0] - 2)
+            w = t - i
+            d = ((1.0 - w) * profiles[hid, i]
+                 + w * profiles[hid, i + 1])
+            d = jnp.where((rad >= g0) & (rad <= lnr_grid[-1]), d, 0.0)
+            d = jnp.where(r_com < eps_max * hR, d, 0.0)
+            # angular window parity with the halo-major path
+            # (disc_window's pixel-center-in-disc test)
+            ang_ok = (jnp.sum(pvec * hv0, axis=-1)
+                      >= jnp.cos(eps_max * hR * ha / hD))
+            d = jnp.where(ang_ok, d, 0.0)
+            d = jnp.where(jnp.isfinite(d), d, 0.0) * ha     # physical
+
+            off = d[:, None] * diff / jnp.maximum(r_sep, 1e-30)[:, None]
+            # stable delta = normalize(pos + off) - pvec
+            nw = pos + off
+            nw_norm = jnp.sqrt(jnp.sum(nw * nw, axis=-1))
+            sft = ((2.0 * jnp.sum(pos * off, axis=-1)
+                    + jnp.sum(off * off, axis=-1)) / (nw_norm + hD))
+            delta = (off - pvec * sft[:, None]) / nw_norm[:, None]
+            delta = jnp.where(ok[:, None] & jnp.isfinite(delta).all(
+                axis=-1, keepdims=True), delta, 0.0)
+            return acc + delta
+
+        return jax.lax.fori_loop(0, K, k_body,
+                                 jnp.zeros((block, 3), dtype=dt))
+
+    out = jax.lax.map(one_block, jnp.arange(n_blocks))
+    return offsets + out.reshape(npix, 3)
+
+
+@partial(jax.jit, static_argnames=("block",))
+def gather_paint_pass(K, block, cell_of_pixel, vec_table,
+                      hids_sorted, cell_start,
+                      v0, D, a, R_com, profiles, lnr_grid,
+                      eps_max, new_map):
+    """Dense painting pass: new_map[p] += sum of the pixel's candidate
+    halos' projected-profile values (profiles hold log-values)."""
+    npix = cell_of_pixel.shape[0]
+    n_blocks = npix // block
+    dt = new_map.dtype
+
+    def one_block(b):
+        s = b * block
+        pvec = jax.lax.dynamic_slice_in_dim(vec_table, s, block)
+        cells = jax.lax.dynamic_slice_in_dim(cell_of_pixel, s, block)
+        start = cell_start[cells]
+        count = cell_start[cells + 1] - start
+
+        def k_body(k, acc):
+            ok = k < count
+            hid = hids_sorted[jnp.where(ok, start + k, 0)]
+            hv0 = v0[hid]
+            hD = D[hid]
+            ha = a[hid]
+            hR = R_com[hid]
+
+            diff = (pvec - hv0) * hD[:, None]
+            r_sep = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+            r_com = jnp.maximum(r_sep / ha, 1e-30)
+            lnr = jnp.log(r_com)
+
+            g0 = lnr_grid[0]
+            dg = lnr_grid[1] - lnr_grid[0]
+            t = (lnr - g0) / dg
+            i = jnp.clip(jnp.floor(t).astype(jnp.int32), 0,
+                         lnr_grid.shape[0] - 2)
+            w = t - i
+            lnp = ((1.0 - w) * profiles[hid, i]
+                   + w * profiles[hid, i + 1])
+            paint = jnp.exp(lnp)
+            paint = jnp.where((lnr >= g0) & (lnr <= lnr_grid[-1]), paint,
+                              0.0)
+            paint = jnp.where(r_com < eps_max * hR, paint, 0.0)
+            ang_ok = (jnp.sum(pvec * hv0, axis=-1)
+                      >= jnp.cos(eps_max * hR * ha / hD))
+            paint = jnp.where(ang_ok & ok & jnp.isfinite(paint), paint,
+                              0.0)
+            return acc + paint
+
+        return jax.lax.fori_loop(0, K, k_body,
+                                 jnp.zeros((block,), dtype=dt))
+
+    out = jax.lax.map(one_block, jnp.arange(n_blocks))
+    return new_map + out.reshape(npix)
