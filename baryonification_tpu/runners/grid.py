@@ -52,7 +52,7 @@ class DefaultRunnerGrid:
 
     def __init__(self, HaloNDCatalog, GriddedMap, epsilon_max, model,
                  use_ellipticity=False, mass_def=None, verbose=True,
-                 halo_chunk=64, n_buckets=8):
+                 halo_chunk=64, n_buckets=8, precision="auto"):
         self.HaloNDCatalog = HaloNDCatalog
         self.GriddedMap = GriddedMap
         self.cosmo = HaloNDCatalog.cosmology
@@ -63,6 +63,10 @@ class DefaultRunnerGrid:
         self.halo_chunk = halo_chunk
         self.n_buckets = n_buckets
         self.use_ellipticity = use_ellipticity
+        if precision == "auto":
+            precision = ("float64" if jax.default_backend() == "cpu"
+                         else "float32")
+        self.dtype = jnp.dtype(precision)
 
         if use_ellipticity:
             names = HaloNDCatalog.cat.dtype.names
@@ -273,45 +277,57 @@ class BaryonifyGrid(DefaultRunnerGrid):
         use_rdelta = bool(getattr(model, 'Rdelta_sampling', False))
         dim = 2 if gm.is2D else 3
 
-        offsets = jnp.zeros((gm.Npix ** dim, dim), dtype=jnp.float64)
+        dt = self.dtype
+        from contextlib import nullcontext
+        from ..utils import x64_disabled
+        hot_ctx = (x64_disabled() if dt == jnp.dtype('float32')
+                   else nullcontext())
         R_com = arrs['R'] / a   # table masking radius, comoving
         idx_all = np.where(keep)[0]
-        for idx in _nsize_buckets(Nsize[idx_all], self.n_buckets):
-            sel = idx_all[idx]
-            half = int(Nsize[sel].max() // 2)
-            chunk = min(self.halo_chunk, len(sel))
-            n_pad = (-len(sel)) % chunk
-            pad = lambda v, fill=0.0: np.concatenate(
-                [v, np.full((n_pad,) + v.shape[1:], fill)]) if n_pad else v
-            offsets = _accumulate_grid_offsets(
-                gm.Npix, half, len(p_keys), use_rdelta, chunk, gm.is2D,
-                model._grids, model._table, float(self.epsilon_max), a,
-                gm.res, jnp.asarray(gm.bins),
-                jnp.asarray(pad(arrs['x'][sel])),
-                jnp.asarray(pad(arrs['y'][sel])),
-                jnp.asarray(pad(arrs['z'][sel])) if not gm.is2D else None,
-                jnp.asarray(pad(arrs['M'][sel], 1.0)),
-                jnp.asarray(pad(R_com[sel], 1e-10)),
-                jnp.asarray(pad(arrs['Rmat'][sel])),
-                jnp.asarray(pad(arrs['props'][sel])), offsets)
+        with hot_ctx:
+            grids_d = tuple(g.astype(dt) for g in model._grids)
+            table_d = model._table.astype(dt)
+            offsets = jnp.zeros((gm.Npix ** dim, dim), dtype=dt)
+            for idx in _nsize_buckets(Nsize[idx_all], self.n_buckets):
+                sel = idx_all[idx]
+                half = int(Nsize[sel].max() // 2)
+                chunk = min(self.halo_chunk, len(sel))
+                n_pad = (-len(sel)) % chunk
+                pad = lambda v, fill=0.0: np.concatenate(
+                    [v, np.full((n_pad,) + v.shape[1:], fill)]) if n_pad else v
+                offsets = _accumulate_grid_offsets(
+                    gm.Npix, half, len(p_keys), use_rdelta, chunk, gm.is2D,
+                    grids_d, table_d, float(self.epsilon_max), a,
+                    gm.res, jnp.asarray(gm.bins, dtype=dt),
+                    jnp.asarray(pad(arrs['x'][sel]), dtype=dt),
+                    jnp.asarray(pad(arrs['y'][sel]), dtype=dt),
+                    (jnp.asarray(pad(arrs['z'][sel]), dtype=dt)
+                     if not gm.is2D else None),
+                    jnp.asarray(pad(arrs['M'][sel], 1.0), dtype=dt),
+                    jnp.asarray(pad(R_com[sel], 1e-10), dtype=dt),
+                    jnp.asarray(pad(arrs['Rmat'][sel]), dtype=dt),
+                    jnp.asarray(pad(arrs['props'][sel]), dtype=dt), offsets)
 
-        offsets = np.asarray(offsets)
-        offsets = np.where(np.isfinite(offsets), offsets, 0.0)
+            offsets_d = jnp.where(jnp.isfinite(offsets), offsets, 0.0)
 
-        # add integer grid coordinates and redeposit (CIC); map layout is
-        # map[ix, iy(, iz)] so flat index (ix*N + iy)*... is plain C-order
-        N = gm.Npix
-        if gm.is2D:
-            ix, iy = np.divmod(np.arange(N * N), N)
-            pos = offsets + np.stack([ix, iy], axis=-1)
-            new_map = np.asarray(cic_deposit_2d(
-                N, jnp.asarray(pos), jnp.asarray(orig_map.reshape(-1))))
-        else:
-            ixy, iz = np.divmod(np.arange(N ** 3), N)
-            ix, iy = np.divmod(ixy, N)
-            pos = offsets + np.stack([ix, iy, iz], axis=-1)
-            new_map = np.asarray(cic_deposit_3d(
-                N, jnp.asarray(pos), jnp.asarray(orig_map.reshape(-1))))
+            # add integer grid coordinates and redeposit (CIC); map layout
+            # is map[ix, iy(, iz)]: flat index (ix*N + iy)*... is C-order
+            N = gm.Npix
+            if gm.is2D:
+                ix, iy = np.divmod(np.arange(N * N), N)
+                pos = offsets_d + jnp.asarray(np.stack([ix, iy], axis=-1),
+                                              dtype=dt)
+                new_map = np.asarray(cic_deposit_2d(
+                    N, pos, jnp.asarray(orig_map.reshape(-1), dtype=dt),
+                    dtype=dt))
+            else:
+                ixy, iz = np.divmod(np.arange(N ** 3), N)
+                ix, iy = np.divmod(ixy, N)
+                pos = offsets_d + jnp.asarray(
+                    np.stack([ix, iy, iz], axis=-1), dtype=dt)
+                new_map = np.asarray(cic_deposit_3d(
+                    N, pos, jnp.asarray(orig_map.reshape(-1), dtype=dt),
+                    dtype=dt))
 
         new_sum, old_sum = new_map.sum(), orig_map.sum()
         assert np.isclose(new_sum, old_sum), (
@@ -348,26 +364,35 @@ class PaintProfilesGrid(DefaultRunnerGrid):
         Nsize = np.clip(Nsize // 2 * 2, 2, len(gm.bins) // 2)
 
         dim = 2 if gm.is2D else 3
-        new_map = jnp.zeros((gm.Npix ** dim, 1), dtype=jnp.float64)
-        for idx in _nsize_buckets(Nsize, self.n_buckets):
-            half = int(Nsize[idx].max() // 2)
-            chunk = min(self.halo_chunk, len(idx))
-            n_pad = (-len(idx)) % chunk
-            pad = lambda v, fill=0.0: np.concatenate(
-                [v, np.full((n_pad,) + v.shape[1:], fill)]) if n_pad else v
-            new_map = _accumulate_grid_paint(
-                gm.Npix, half, len(p_keys), chunk, gm.is2D,
-                model._grids, table, float(self.epsilon_max), a,
-                gm.res, jnp.asarray(gm.bins),
-                jnp.asarray(pad(arrs['x'][idx])),
-                jnp.asarray(pad(arrs['y'][idx])),
-                jnp.asarray(pad(arrs['z'][idx])) if not gm.is2D else None,
-                jnp.asarray(pad(arrs['M'][idx], 1.0)),
-                jnp.asarray(pad(R_com[idx], 1e-10)),
-                jnp.asarray(pad(arrs['Rmat'][idx])),
-                jnp.asarray(pad(arrs['props'][idx])), new_map)
+        dt = self.dtype
+        from contextlib import nullcontext
+        from ..utils import x64_disabled
+        hot_ctx = (x64_disabled() if dt == jnp.dtype('float32')
+                   else nullcontext())
+        with hot_ctx:
+            grids_d = tuple(g.astype(dt) for g in model._grids)
+            table_d = table.astype(dt)
+            new_map = jnp.zeros((gm.Npix ** dim, 1), dtype=dt)
+            for idx in _nsize_buckets(Nsize, self.n_buckets):
+                half = int(Nsize[idx].max() // 2)
+                chunk = min(self.halo_chunk, len(idx))
+                n_pad = (-len(idx)) % chunk
+                pad = lambda v, fill=0.0: np.concatenate(
+                    [v, np.full((n_pad,) + v.shape[1:], fill)]) if n_pad else v
+                new_map = _accumulate_grid_paint(
+                    gm.Npix, half, len(p_keys), chunk, gm.is2D,
+                    grids_d, table_d, float(self.epsilon_max), a,
+                    gm.res, jnp.asarray(gm.bins, dtype=dt),
+                    jnp.asarray(pad(arrs['x'][idx]), dtype=dt),
+                    jnp.asarray(pad(arrs['y'][idx]), dtype=dt),
+                    (jnp.asarray(pad(arrs['z'][idx]), dtype=dt)
+                     if not gm.is2D else None),
+                    jnp.asarray(pad(arrs['M'][idx], 1.0), dtype=dt),
+                    jnp.asarray(pad(R_com[idx], 1e-10), dtype=dt),
+                    jnp.asarray(pad(arrs['Rmat'][idx]), dtype=dt),
+                    jnp.asarray(pad(arrs['props'][idx]), dtype=dt), new_map)
 
-        new_map = np.asarray(new_map)[:, 0]
+            new_map = np.asarray(new_map)[:, 0]
         if gm.is2D:
             return new_map.reshape(gm.Npix, gm.Npix)
         return new_map.reshape(gm.Npix, gm.Npix, gm.Npix)

@@ -54,7 +54,7 @@ class DefaultRunnerSnapshot:
 
     def __init__(self, HaloNDCatalog, ParticleSnapshot, epsilon_max, model,
                  mass_def=None, verbose=True, halo_chunk=32, n_buckets=4,
-                 n_cells=None):
+                 n_cells=None, precision="auto"):
         self.HaloNDCatalog = HaloNDCatalog
         self.ParticleSnapshot = ParticleSnapshot
         self.epsilon_max = epsilon_max
@@ -64,6 +64,10 @@ class DefaultRunnerSnapshot:
         self.verbose = verbose
         self.halo_chunk = halo_chunk
         self.n_buckets = n_buckets
+        if precision == "auto":
+            precision = ("float64" if jax.default_backend() == "cpu"
+                         else "float32")
+        self.dtype = jnp.dtype(precision)
 
         coords = (['x', 'y'] if ParticleSnapshot.is2D else ['x', 'y', 'z'])
         self._coords = np.stack([ParticleSnapshot.cat[c] for c in coords],
@@ -94,11 +98,11 @@ def _accumulate_particle_offsets(K, P, n_cells, dim, chunk, n_props,
     h_cell = L / n_cells
     Np_tot = sorted_pos.shape[0]
 
-    k_off = jnp.arange(K) - K // 2
+    k_off = jnp.arange(K, dtype=jnp.int32) - K // 2
 
     def one_halo(x0, M_h, a_h, R_h, pr_h):
         # candidate cells: K^dim block around the halo's cell
-        c0 = jnp.floor(jnp.mod(x0, L) / h_cell).astype(jnp.int64)
+        c0 = jnp.floor(jnp.mod(x0, L) / h_cell).astype(jnp.int32)
         grids_k = jnp.meshgrid(*([k_off] * dim), indexing='ij')
         cells = [jnp.mod(c0[d] + grids_k[d].reshape(-1), n_cells)
                  for d in range(dim)]
@@ -108,7 +112,7 @@ def _accumulate_particle_offsets(K, P, n_cells, dim, chunk, n_props,
 
         start = cell_start[cid]                               # (C,)
         count = cell_count[cid]
-        slot = jnp.arange(P)
+        slot = jnp.arange(P, dtype=jnp.int32)
         pidx = start[:, None] + slot[None, :]                 # (C, P)
         pvalid = slot[None, :] < count[:, None]
         pidx = jnp.where(pvalid, pidx, 0)
@@ -175,32 +179,41 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
                  if p_keys else np.zeros((cat.size, 0)))
         use_rdelta = bool(getattr(model, 'Rdelta_sampling', False))
 
-        sorted_pos = jnp.asarray(self._coords[tree.order])
-        offsets = jnp.zeros((len(self._coords), dim), dtype=jnp.float64)
+        dt = self.dtype
+        from contextlib import nullcontext
+        from ..utils import x64_disabled
+        hot_ctx = (x64_disabled() if dt == jnp.dtype('float32')
+                   else nullcontext())
+        with hot_ctx:
+            grids_d = tuple(g.astype(dt) for g in model._grids)
+            table_d = model._table.astype(dt)
+            sorted_pos = jnp.asarray(self._coords[tree.order], dtype=dt)
+            offsets = jnp.zeros((len(self._coords), dim), dtype=dt)
 
-        # bucket halos by query radius so the candidate-cell block K stays
-        # tight per bucket
-        order = np.argsort(R_q)
-        for idx in [s for s in np.array_split(order, self.n_buckets)
-                    if s.size > 0]:
-            Rmax = float(R_q[idx].max())
-            K = 2 * int(np.ceil(Rmax / tree.h)) + 1
-            K = min(K, tree.n_cells)
-            P = tree.max_per_cell
-            chunk = min(self.halo_chunk, len(idx))
-            n_pad = (-len(idx)) % chunk
-            pad = lambda v, fill=0.0: np.concatenate(
-                [v, np.full((n_pad,) + v.shape[1:], fill)]) if n_pad else v
-            offsets = _accumulate_particle_offsets(
-                K, P, tree.n_cells, dim, chunk, len(p_keys), use_rdelta,
-                model._grids, model._table, float(self.epsilon_max), L,
-                sorted_pos, jnp.asarray(tree.cell_start),
-                jnp.asarray(tree.cell_count),
-                jnp.asarray(pad(xh[idx])),
-                jnp.asarray(pad(cat['M'][idx], 1.0)),
-                jnp.asarray(pad(np.full(len(idx), a), 1.0)),
-                jnp.asarray(pad(R_com[idx], 1e-10)),
-                jnp.asarray(pad(props[idx])), offsets)
+            # bucket halos by query radius so the candidate-cell block K
+            # stays tight per bucket
+            order = np.argsort(R_q)
+            for idx in [s for s in np.array_split(order, self.n_buckets)
+                        if s.size > 0]:
+                Rmax = float(R_q[idx].max())
+                K = 2 * int(np.ceil(Rmax / tree.h)) + 1
+                K = min(K, tree.n_cells)
+                P = tree.max_per_cell
+                chunk = min(self.halo_chunk, len(idx))
+                n_pad = (-len(idx)) % chunk
+                pad = lambda v, fill=0.0: np.concatenate(
+                    [v, np.full((n_pad,) + v.shape[1:], fill)]) if n_pad else v
+                offsets = _accumulate_particle_offsets(
+                    K, P, tree.n_cells, dim, chunk, len(p_keys), use_rdelta,
+                    grids_d, table_d, float(self.epsilon_max), L,
+                    sorted_pos,
+                    jnp.asarray(tree.cell_start, dtype=jnp.int32),
+                    jnp.asarray(tree.cell_count, dtype=jnp.int32),
+                    jnp.asarray(pad(xh[idx]), dtype=dt),
+                    jnp.asarray(pad(cat['M'][idx], 1.0), dtype=dt),
+                    jnp.asarray(pad(np.full(len(idx), a), 1.0), dtype=dt),
+                    jnp.asarray(pad(R_com[idx], 1e-10), dtype=dt),
+                    jnp.asarray(pad(props[idx]), dtype=dt), offsets)
 
         # scatter back to original particle order (the * a conversion is
         # applied inside the kernel)
