@@ -162,19 +162,13 @@ class DefaultRunner:
                                          phi).astype(jnp.int32)
         return cache[nside_c]
 
-    def _halo_profiles(self, grids, table, sub, dt, n_props):
-        """Per-halo blended radial table rows (H, Nr)."""
-        from ..ops.interp import blend_table_radial
-        sc_cols = [np.log(1.0 / sub['a']), np.log(sub['M'])]
-        sc_cols += [sub['props'][:, i] for i in range(n_props)]
-        sc = jnp.asarray(np.stack(sc_cols, axis=-1), dtype=dt)
-        n_sc = 2 + n_props
-
-        def bp(row):
-            return blend_table_radial(grids, table,
-                                      [row[i] for i in range(n_sc)])
-
-        return jax.jit(jax.vmap(bp))(sc)
+    @staticmethod
+    def _scalar_coords(arrs, dt, n_props):
+        """(H, 2 + n_props) scalar table coordinates per halo:
+        log(1+z), log M, then the catalog property columns."""
+        sc_cols = [np.log(1.0 / arrs['a']), np.log(arrs['M'])]
+        sc_cols += [arrs['props'][:, i] for i in range(n_props)]
+        return jnp.asarray(np.stack(sc_cols, axis=-1), dtype=dt)
 
     # ----- shared halo preprocessing -----
     def _halo_arrays(self, cosmo):
@@ -370,33 +364,39 @@ class BaryonifyShell(DefaultRunner):
             offsets = jnp.zeros((hpx.npix(nside), 3), dtype=dt)
             buckets = _bucket_edges(arrs['radius'], self.n_buckets)
             block = self._pixel_block(hpx.npix(nside))
+            if self.method == "gather":
+                from . import shell_gather as sg
+                # one all-halo device pass: blended profile rows + unit
+                # vectors + scalar columns, sliced per bucket below
+                prof_all = sg.blend_halo_profiles(
+                    grids, table, self._scalar_coords(arrs, dt, n_props))
+                v0_all = hpx.ang2vec(jnp.asarray(arrs['theta'], dtype=dt),
+                                     jnp.asarray(arrs['phi'], dtype=dt))
+                D_all = jnp.asarray(arrs['D'], dtype=dt)
+                a_all = jnp.asarray(arrs['a'], dtype=dt)
+                Rc_all = jnp.asarray(arrs['R_com'], dtype=dt)
+                lnRc_all = jnp.log(Rc_all)
             for bi, idx in enumerate(buckets):
                 sub = {k: v[idx] for k, v in arrs.items()}
                 r_b = float(sub['radius'].max())
                 if self.method == "gather":
-                    from . import shell_gather as sg
+                    jidx = jnp.asarray(idx, dtype=jnp.int32)
                     nside_c = sg.pick_coarse_nside(r_b, nside)
                     hids, cell_start, K = sg.coarse_halo_index(
                         nside_c, jnp.asarray(sub['theta'], dtype=dt),
                         jnp.asarray(sub['phi'], dtype=dt),
-                        jnp.asarray(sub['radius'], dtype=dt), dtype=dt)
+                        jnp.asarray(sub['radius'], dtype=dt), dtype=dt,
+                        r_max=r_b)
                     if self.verbose:
                         print(f"Baryonifying matter: bucket {bi + 1}/"
                               f"{len(buckets)} ({len(idx)} halos, "
                               f"nside_c={nside_c}, K={K})")
                     cells = self._cells_of_pixels(nside_c, vec_table)
-                    prof = self._halo_profiles(grids, table, sub, dt,
-                                               n_props)
-                    v0 = hpx.ang2vec(jnp.asarray(sub['theta'], dtype=dt),
-                                     jnp.asarray(sub['phi'], dtype=dt))
                     offsets = sg.gather_offsets_pass(
                         K, use_rdelta, block, cells, vec_table, hids,
-                        cell_start, v0,
-                        jnp.asarray(sub['D'], dtype=dt),
-                        jnp.asarray(sub['a'], dtype=dt),
-                        jnp.asarray(sub['R_com'], dtype=dt),
-                        jnp.asarray(np.log(sub['R_com']), dtype=dt),
-                        prof, grids[2], float(self.epsilon_max), offsets)
+                        cell_start, v0_all[jidx], D_all[jidx], a_all[jidx],
+                        Rc_all[jidx], lnRc_all[jidx], prof_all[jidx],
+                        grids[2], float(self.epsilon_max), offsets)
                     continue
 
                 n_rings, n_phi = _window_dims(nside, r_b)
@@ -471,32 +471,37 @@ class PaintProfilesShell(DefaultRunner):
             new_map = jnp.zeros((hpx.npix(nside), 1), dtype=dt)
             buckets = _bucket_edges(arrs['radius'], self.n_buckets)
             block = self._pixel_block(hpx.npix(nside))
+            if self.method == "gather":
+                from . import shell_gather as sg
+                prof_all = sg.blend_halo_profiles(
+                    grids, table,
+                    self._scalar_coords(arrs, dt, len(p_keys)))
+                v0_all = hpx.ang2vec(jnp.asarray(arrs['theta'], dtype=dt),
+                                     jnp.asarray(arrs['phi'], dtype=dt))
+                D_all = jnp.asarray(arrs['D'], dtype=dt)
+                a_all = jnp.asarray(arrs['a'], dtype=dt)
+                Rc_all = jnp.asarray(arrs['R_com'], dtype=dt)
             for bi, idx in enumerate(buckets):
                 sub = {k: v[idx] for k, v in arrs.items()}
                 r_b = float(sub['radius'].max())
                 if self.method == "gather":
-                    from . import shell_gather as sg
+                    jidx = jnp.asarray(idx, dtype=jnp.int32)
                     nside_c = sg.pick_coarse_nside(r_b, nside)
                     hids, cell_start, K = sg.coarse_halo_index(
                         nside_c, jnp.asarray(sub['theta'], dtype=dt),
                         jnp.asarray(sub['phi'], dtype=dt),
-                        jnp.asarray(sub['radius'], dtype=dt), dtype=dt)
+                        jnp.asarray(sub['radius'], dtype=dt), dtype=dt,
+                        r_max=r_b)
                     if self.verbose:
                         print(f"Painting Profile: bucket {bi + 1}/"
                               f"{len(buckets)} ({len(idx)} halos, "
                               f"nside_c={nside_c}, K={K})")
                     cells = self._cells_of_pixels(nside_c, vec_table)
-                    prof = self._halo_profiles(grids, table, sub, dt,
-                                               len(p_keys))
-                    v0 = hpx.ang2vec(jnp.asarray(sub['theta'], dtype=dt),
-                                     jnp.asarray(sub['phi'], dtype=dt))
                     flat = sg.gather_paint_pass(
-                        K, block, cells, vec_table, hids, cell_start, v0,
-                        jnp.asarray(sub['D'], dtype=dt),
-                        jnp.asarray(sub['a'], dtype=dt),
-                        jnp.asarray(sub['R_com'], dtype=dt),
-                        prof, grids[2], float(self.epsilon_max),
-                        new_map[:, 0])
+                        K, block, cells, vec_table, hids, cell_start,
+                        v0_all[jidx], D_all[jidx], a_all[jidx],
+                        Rc_all[jidx], prof_all[jidx], grids[2],
+                        float(self.epsilon_max), new_map[:, 0])
                     new_map = flat[:, None]
                     continue
 

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from ..ops import healpix as hpx
 from ..ops.interp import blend_table_radial, radial_readout
 
-__all__ = ["coarse_halo_index", "gather_offsets_pass", "gather_paint_pass"]
+__all__ = ["coarse_halo_index", "blend_halo_profiles",
+           "gather_offsets_pass", "gather_paint_pass"]
 
 
 def pick_coarse_nside(radius_max, nside):
@@ -40,35 +41,19 @@ def pick_coarse_nside(radius_max, nside):
     return int(np.clip(n, 1, nside))
 
 
-def coarse_halo_index(nside_c, theta, phi, radius, dtype=jnp.float32):
-    """Register halos in every coarse cell their disc may touch.
-
-    Returns (halo_ids_sorted, cell_start) over the nc = 12 nside_c^2
-    cells, plus K = max halos per cell. Registration uses the halo radius
-    plus 1.5 cell resolutions of margin, so a fine pixel's own cell always
-    lists every halo that can reach it.
-    """
+@partial(jax.jit, static_argnames=("nc", "n_rings", "n_phi"))
+def _register_halos(nc, n_rings, n_phi, tables_c, vec_c, theta, phi,
+                    radius_reg):
+    """Device part of the coarse registration: windowed cell lists, one
+    sort, CSR cell_start. One compile per (nside_c, window shape)."""
     H = theta.shape[0]
-    resol_c = hpx.nside2resol(nside_c)
-    radius_reg = radius + 1.5 * resol_c
-
-    r_max = float(jnp.max(radius_reg))
-    n_rings = int(np.ceil(2 * r_max / (np.pi / (4 * nside_c)))) + 4
-    n_phi = int(np.ceil(2.5 * r_max * 4 * nside_c / np.pi)) + 8
-    n_rings = min(n_rings, 4 * nside_c - 1)
-    n_phi = min(n_phi, 4 * nside_c)
-
-    tables_c = hpx.RingTables(nside_c, dtype=dtype)
-    vec_c = hpx.pixel_vectors(nside_c, dtype=dtype)
 
     def one(th0, ph0, rr):
         cells, valid, _ = hpx.disc_window_tab(tables_c, vec_c, th0, ph0,
                                               rr, n_rings, n_phi)
         return cells.reshape(-1), valid.reshape(-1)
 
-    cells, valid = jax.vmap(one)(theta.astype(dtype), phi.astype(dtype),
-                                 radius_reg.astype(dtype))
-    nc = hpx.npix(nside_c)
+    cells, valid = jax.vmap(one)(theta, phi, radius_reg)
     cells = jnp.where(valid, cells, nc).reshape(-1).astype(jnp.int32)
     hids = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[:, None],
                             valid.shape).reshape(-1)
@@ -80,8 +65,52 @@ def coarse_halo_index(nside_c, theta, phi, radius, dtype=jnp.float32):
                                   jnp.arange(nc + 1, dtype=jnp.int32)
                                   ).astype(jnp.int32)
     counts = cell_start[1:] - cell_start[:-1]
-    K = int(jnp.max(counts))
-    return hids_s, cell_start, K
+    return hids_s, cell_start, jnp.max(counts)
+
+
+def coarse_halo_index(nside_c, theta, phi, radius, dtype=jnp.float32,
+                      r_max=None):
+    """Register halos in every coarse cell their disc may touch.
+
+    Returns (halo_ids_sorted, cell_start) over the nc = 12 nside_c^2
+    cells, plus K = max halos per cell. Registration uses the halo radius
+    plus 1.5 cell resolutions of margin, so a fine pixel's own cell always
+    lists every halo that can reach it. Pass ``r_max`` (host float, max of
+    ``radius``) to avoid a device sync when sizing the search window.
+    """
+    resol_c = hpx.nside2resol(nside_c)
+    radius_reg = radius + 1.5 * resol_c
+
+    if r_max is None:
+        r_max = float(jnp.max(radius))
+    r_max = r_max + 1.5 * resol_c
+    n_rings = int(np.ceil(2 * r_max / (np.pi / (4 * nside_c)))) + 4
+    n_phi = int(np.ceil(2.5 * r_max * 4 * nside_c / np.pi)) + 8
+    n_rings = min(n_rings, 4 * nside_c - 1)
+    n_phi = min(n_phi, 4 * nside_c)
+
+    tables_c = hpx.RingTables(nside_c, dtype=dtype)
+    vec_c = hpx.pixel_vectors(nside_c, dtype=dtype)
+
+    nc = hpx.npix(nside_c)
+    hids_s, cell_start, K = _register_halos(
+        nc, n_rings, n_phi, tables_c, vec_c, theta.astype(dtype),
+        phi.astype(dtype), radius_reg.astype(dtype))
+    return hids_s, cell_start, int(K)
+
+
+@jax.jit
+def blend_halo_profiles(grids, table, scalars):
+    """Per-halo blended radial table rows: (H, n_sc) scalar coords ->
+    (H, Nr) profiles. Module-level jit so the compile is shared across
+    buckets and process() calls."""
+    n_sc = scalars.shape[1]
+
+    def bp(row):
+        return blend_table_radial(grids, table,
+                                  [row[i] for i in range(n_sc)])
+
+    return jax.vmap(bp)(scalars)
 
 
 @partial(jax.jit, static_argnames=("use_rdelta", "block"))
