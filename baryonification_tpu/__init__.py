@@ -28,6 +28,8 @@ from . import ops
 from . import cosmology
 from .cosmology import Cosmology, MassDef
 from . import utils
+from .utils import (build_cosmodict, log_time, generate_operator_method,
+                    destory_Pk)
 from . import io
 from .io import (HaloLightConeCatalog, HaloNDCatalog, LightconeShell,
                  GriddedMap, ParticleSnapshot)

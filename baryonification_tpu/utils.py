@@ -11,7 +11,8 @@ import time
 from contextlib import contextmanager
 from functools import wraps
 
-__all__ = ['build_cosmodict', 'log_time', 'host_cpu_device', 'x64_disabled']
+__all__ = ['build_cosmodict', 'log_time', 'host_cpu_device', 'x64_disabled',
+           'generate_operator_method', 'destory_Pk']
 
 
 @contextmanager
@@ -59,3 +60,40 @@ def log_time(fn):
         return out
 
     return wrapper
+
+
+def generate_operator_method(op, reflected=False):
+    """Build a profile-algebra dunder method for a given ``operator``
+    function (API parity with the reference's class-surgery helper,
+    `utils/misc.py:7-96`).
+
+    The reference clones the HaloProfile class and swaps ``_real`` for the
+    composed op; here the same algebra is a first-class
+    :class:`~baryonification_tpu.profiles.base.CombinedProfile` node, so
+    this helper just returns a method that constructs one.
+    """
+    import operator as _operator
+    from .profiles.base import CombinedProfile
+    name = getattr(op, '__name__', 'op')
+
+    if op in (_operator.abs, _operator.neg, _operator.pos):
+        def method(self):
+            return CombinedProfile(lambda a, b: op(a), self, None, name)
+        return method
+
+    if reflected:
+        def method(self, other):
+            return CombinedProfile(lambda a, b: op(b, a), self, other, name)
+    else:
+        def method(self, other):
+            return CombinedProfile(lambda a, b: op(a, b), self, other, name)
+    return method
+
+
+def destory_Pk(cosmo):
+    """No-op kept for API compatibility (reference `utils/misc.py:130-157`,
+    including the upstream spelling). The reference must strip unpicklable
+    SwigPyObject P(k) handles from CCL cosmologies before pickling across
+    worker processes; this framework's :class:`Cosmology` is a frozen
+    dataclass of plain arrays and pickles as-is."""
+    return cosmo

@@ -230,6 +230,32 @@ class TestAlgebra:
         out = (1 - gas * 0.0).real(cosmo, r, 1e14, A_SCALE)
         np.testing.assert_allclose(np.asarray(out), 1.0)
 
+    def test_generate_operator_method(self, cosmo):
+        """API-compat helper builds the same CombinedProfile algebra
+        (`utils/misc.py:7-96`)."""
+        import operator
+        from baryonification_tpu import generate_operator_method, destory_Pk
+        gas = Gas(**PAR)
+        st = Stars(**PAR)
+        r = np.geomspace(0.01, 10, 8)
+        add = generate_operator_method(operator.add)
+        got = np.asarray(add(gas, st).real(cosmo, r, 1e14, A_SCALE))
+        want = (np.asarray(gas.real(cosmo, r, 1e14, A_SCALE))
+                + np.asarray(st.real(cosmo, r, 1e14, A_SCALE)))
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+        rsub = generate_operator_method(operator.sub, reflected=True)
+        got = np.asarray(rsub(gas, 0.0).real(cosmo, r, 1e14, A_SCALE))
+        np.testing.assert_allclose(
+            got, -np.asarray(gas.real(cosmo, r, 1e14, A_SCALE)), rtol=1e-12)
+
+        neg = generate_operator_method(operator.neg)
+        got = np.asarray(neg(gas).real(cosmo, r, 1e14, A_SCALE))
+        np.testing.assert_allclose(
+            got, -np.asarray(gas.real(cosmo, r, 1e14, A_SCALE)), rtol=1e-12)
+
+        assert destory_Pk(cosmo) is cosmo   # picklable pytree: no-op
+
     def test_set_parameter_recursive(self, cosmo):
         dmb = DarkMatterBaryon(**PAR)
         dmb.set_parameter('theta_ej', 8.0)
