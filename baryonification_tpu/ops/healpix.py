@@ -290,6 +290,19 @@ def pixel_vectors(nside, dtype=jnp.float32):
     return jnp.asarray(vec, dtype=dtype)
 
 
+def pixel_vectors_soa(nside, dtype=jnp.float32):
+    """Pixel-center unit vectors as three (npix,) arrays.
+
+    Structure-of-arrays layout: on TPU an (npix, 3) array is tiled
+    T(8, 128) — the 3-wide minor dim pads to 128 lanes, costing 42x the
+    memory and HBM bandwidth (6.4 GB at NSIDE 1024 instead of 150 MB).
+    The hot runners carry vectors as separate component planes instead.
+    """
+    with jax.default_device(jax.devices("cpu")[0]):
+        vec = np.asarray(pix2vec(nside, jnp.arange(npix(nside))))
+    return tuple(jnp.asarray(vec[:, i], dtype=dtype) for i in range(3))
+
+
 def ring_above_tab(tables, z):
     """Number of rings with z_ring >= z (0 = above the first ring)."""
     return jnp.searchsorted(tables.neg_z, -z, side="right").astype(jnp.int32)
@@ -311,9 +324,10 @@ def _ring_phi_neighbors_tab(tables, ring, phi):
     return p1, p2, frac, theta_r
 
 
-def get_interp_weights_tab(tables, theta, phi):
-    """Table-based 4-neighbor bilinear weights (get_interp_weights
-    fast path; identical semantics)."""
+def get_interp_weights_parts_tab(tables, theta, phi):
+    """Table-based 4-neighbor bilinear weights as component tuples
+    ((p1..p4), (w1..w4)) — the SoA form the batched regrid needs (an
+    (npix, 4) stacked array is tiled T(8, 128) on TPU: 32x its size)."""
     n = tables.nside
     z = jnp.cos(theta)
     r1 = ring_above_tab(tables, z)
@@ -330,10 +344,17 @@ def get_interp_weights_tab(tables, theta, phi):
     wt = jnp.clip((theta - th1) / denom, 0.0, 1.0)
     wt = jnp.where(at_npole, 0.0, jnp.where(at_spole, 1.0, wt))
 
-    pix = jnp.stack([p11, p12, p21, p22], axis=-1)
-    w = jnp.stack([(1 - wt) * (1 - f1), (1 - wt) * f1,
-                   wt * (1 - f2), wt * f2], axis=-1)
-    return pix, w
+    return ((p11, p12, p21, p22),
+            ((1 - wt) * (1 - f1), (1 - wt) * f1,
+             wt * (1 - f2), wt * f2))
+
+
+def get_interp_weights_tab(tables, theta, phi):
+    """Table-based 4-neighbor bilinear weights (get_interp_weights
+    fast path; identical semantics). Stacked (..., 4) output — use
+    get_interp_weights_parts_tab in batched hot paths."""
+    ps, ws = get_interp_weights_parts_tab(tables, theta, phi)
+    return jnp.stack(ps, axis=-1), jnp.stack(ws, axis=-1)
 
 
 def disc_window_tab(tables, vec_table, theta0, phi0, radius, n_rings,
@@ -384,6 +405,58 @@ def disc_window_tab(tables, vec_table, theta0, phi0, radius, n_rings,
     slot_ok = (m >= -(span // 2)) & (m < span - span // 2)
     valid = valid & slot_ok
     return pix, valid, pvec
+
+
+def disc_window_mask_tab(tables, theta0, phi0, radius, n_rings, n_phi):
+    """Fixed-shape disc window WITHOUT pixel-vector gathers.
+
+    Same pixel set as :func:`disc_window_tab` (the pixel-center-in-disc
+    test is evaluated analytically per ring: cos(dist) = z*cos(theta0) +
+    sin(theta)*sin(theta0)*cos(dphi) >= cos(radius)), but no (..., 3)
+    arrays are built — an (N, 3) intermediate is tiled T(8, 128) on TPU
+    and costs 42x its logical size, which OOMs large batched windows.
+    Returns (pix, valid).
+    """
+    n = tables.nside
+    dt = tables.dtype
+    cos_r = jnp.cos(radius)
+
+    z_hi = jnp.cos(jnp.maximum(theta0 - radius, 0.0))
+    ring_lo = jnp.clip(ring_above_tab(tables, z_hi), 1, 4 * n - 1)
+    k = jnp.arange(n_rings, dtype=jnp.int32)
+    rings_raw = ring_lo[..., None] + k
+    ring_ok = rings_raw <= 4 * n - 1
+    rings = jnp.clip(rings_raw, 1, 4 * n - 1)
+
+    kk = rings - 1
+    z = tables.z[kk]
+    start = tables.start[kk]
+    npr = tables.npr[kk]
+    shift = tables.shift[kk]
+    dphi_pix = 2.0 * jnp.pi / npr.astype(dt)
+
+    st0 = jnp.sin(theta0)[..., None]
+    ct0 = jnp.cos(theta0)[..., None]
+    st = jnp.sqrt(jnp.maximum(1.0 - z * z, 1e-30))
+    # in-disc iff cos(phi_pix - phi0) >= cosdphi_thresh on this ring
+    cosdphi_thresh = (cos_r[..., None] - z * ct0) / (st * st0 + 1e-30)
+
+    t = phi0[..., None] / dphi_pix - shift
+    j_center = jnp.round(t).astype(jnp.int32)
+    m = jnp.arange(n_phi, dtype=jnp.int32) - (n_phi // 2)
+    j = j_center[..., None] + m
+    jw = jnp.mod(j, npr[..., None])
+    pix = start[..., None] + jw
+
+    # actual pixel phi (unwrapped j is fine under cos)
+    dphi = ((j.astype(dt) + shift[..., None]) * dphi_pix[..., None]
+            - phi0[..., None, None])
+    inside = jnp.cos(dphi) >= cosdphi_thresh[..., None]
+    valid = inside & ring_ok[..., None]
+    span = jnp.minimum(npr[..., None], n_phi)
+    slot_ok = (m >= -(span // 2)) & (m < span - span // 2)
+    valid = valid & slot_ok
+    return pix, valid
 
 
 @partial(jax.jit, static_argnames=("nside", "n_rings", "n_phi"))

@@ -41,22 +41,24 @@ def regrid_healpix(npix_out, parent_vals, child_pix, child_weights,
     child_pix   : (N, 4) destination pixel indices
     child_weights : (N, 4) weights (sum to 1 per row)
     """
-    contrib = (child_weights * parent_vals[:, None]).reshape(-1, 1)
-    out = scatter_add_accum(jnp.zeros((npix_out, 1), dtype=dtype),
-                            child_pix.reshape(-1).astype(jnp.int32),
-                            contrib.astype(dtype))
-    return out[:, 0]
+    contrib = (child_weights * parent_vals[:, None]).reshape(-1)
+    (out,) = scatter_add_accum((jnp.zeros((npix_out,), dtype=dtype),),
+                               child_pix.reshape(-1).astype(jnp.int32),
+                               (contrib.astype(dtype),))
+    return out
 
 
-def cic_deposit_2d(N, pos, vals, dtype=jnp.float64):
-    """Deposit unit squares centered on ``pos`` (in pixel units) onto an
-    (N, N) periodic grid, axis order grid[ix, iy].
+def cic_deposit_2d(N, pos_x, pos_y, vals, dtype=jnp.float64):
+    """Deposit unit squares centered on (pos_x, pos_y) (in pixel units)
+    onto an (N, N) periodic grid, axis order grid[ix, iy].
 
     The exact-overlap redeposit of a shifted unit pixel
     (`Map2DRunner.py:48-83`) reduces to this 4-corner hat deposit.
+    Positions are separate component planes (SoA; an (N, d) array is
+    tiled T(8, 128) on TPU — 42x+ its logical size).
     """
-    x = jnp.mod(pos[:, 0], N)
-    y = jnp.mod(pos[:, 1], N)
+    x = jnp.mod(pos_x, N)
+    y = jnp.mod(pos_y, N)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = x - x0
@@ -70,18 +72,18 @@ def cic_deposit_2d(N, pos, vals, dtype=jnp.float64):
             yi = jnp.mod(y0 + dy, N)
             idx_rows.append(xi * N + yi)
             val_rows.append(v * wx * wy)
-    flat = scatter_add_accum(jnp.zeros((N * N, 1), dtype=dtype),
-                             jnp.concatenate(idx_rows),
-                             jnp.concatenate(val_rows)[:, None])
-    return flat[:, 0].reshape(N, N)
+    (flat,) = scatter_add_accum((jnp.zeros((N * N,), dtype=dtype),),
+                                jnp.concatenate(idx_rows),
+                                (jnp.concatenate(val_rows),))
+    return flat.reshape(N, N)
 
 
-def cic_deposit_3d(N, pos, vals, dtype=jnp.float64):
+def cic_deposit_3d(N, pos_x, pos_y, pos_z, vals, dtype=jnp.float64):
     """3D version of :func:`cic_deposit_2d` onto an (N, N, N) periodic
     grid, axis order grid[ix, iy, iz] (`Map2DRunner.py:119-163`)."""
-    x = jnp.mod(pos[:, 0], N)
-    y = jnp.mod(pos[:, 1], N)
-    z = jnp.mod(pos[:, 2], N)
+    x = jnp.mod(pos_x, N)
+    y = jnp.mod(pos_y, N)
+    z = jnp.mod(pos_z, N)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     z0 = jnp.floor(z).astype(jnp.int32)
@@ -99,7 +101,7 @@ def cic_deposit_3d(N, pos, vals, dtype=jnp.float64):
                 zi = jnp.mod(z0 + dz, N)
                 idx_rows.append((xi * N + yi) * N + zi)
                 val_rows.append(v * wx * wy * wz)
-    flat = scatter_add_accum(jnp.zeros((N * N * N, 1), dtype=dtype),
-                             jnp.concatenate(idx_rows),
-                             jnp.concatenate(val_rows)[:, None])
-    return flat[:, 0].reshape(N, N, N)
+    (flat,) = scatter_add_accum((jnp.zeros((N * N * N,), dtype=dtype),),
+                                jnp.concatenate(idx_rows),
+                                (jnp.concatenate(val_rows),))
+    return flat.reshape(N, N, N)

@@ -114,14 +114,23 @@ def _make_kernel(C, T, B):
 
 
 @partial(jax.jit, static_argnames=("block_rows", "tile_rows", "interpret"))
-def sorted_scatter_add_pallas(acc, idx_sorted, vals_sorted,
+def sorted_scatter_add_pallas(accs, idx_sorted, vals_sorted,
                               block_rows=1024, tile_rows=1024,
                               interpret=False):
-    """acc[(Npix, C)] += rows, idx_sorted ascending int32.
+    """accs[c][idx] += vals[c], idx_sorted ascending int32.
 
-    Rows with index >= acc.shape[0] are ignored (padding sentinel).
+    ``accs``/``vals_sorted`` are tuples of 1-D channel arrays — the
+    structure-of-arrays layout. On TPU a (N, C) array with small C is
+    tiled T(8, 128), padding the 128-lane minor dimension: 42x the memory
+    and HBM traffic for C=3. Separate 1-D planes avoid that entirely (and
+    are what the kernel's packed (N/128, 128) DMA layout wants anyway).
+
+    Rows with index >= accs[0].shape[0] are ignored (padding sentinel).
     """
-    Npix, C = acc.shape
+    accs = tuple(accs)
+    vals_sorted = tuple(vals_sorted)
+    C = len(accs)
+    Npix = accs[0].shape[0]
     N = idx_sorted.shape[0]
     B = block_rows
     T = tile_rows
@@ -133,10 +142,8 @@ def sorted_scatter_add_pallas(acc, idx_sorted, vals_sorted,
     n_pad = (T - N % T) % T + T
     idx_p = jnp.pad(idx_sorted, (0, n_pad),
                     constant_values=nb * B + 1).reshape(-1, 128)
-    val_ps = [jnp.pad(vals_sorted[:, c], (0, n_pad)).reshape(-1, 128)
-              for c in range(C)]
-    acc_ps = [jnp.pad(acc[:, c], (0, nb * B - Npix)).reshape(-1, 128)
-              for c in range(C)]
+    val_ps = [jnp.pad(v, (0, n_pad)).reshape(-1, 128) for v in vals_sorted]
+    acc_ps = [jnp.pad(a, (0, nb * B - Npix)).reshape(-1, 128) for a in accs]
 
     edges = (jnp.arange(nb + 1, dtype=jnp.int32) * B).astype(
         idx_sorted.dtype)
@@ -158,7 +165,7 @@ def sorted_scatter_add_pallas(acc, idx_sorted, vals_sorted,
                                 memory_space=pltpu.VMEM)] * C,
         scratch_shapes=(
             [pltpu.VMEM((TS, 128), jnp.int32)]
-            + [pltpu.VMEM((TS, 128), vals_sorted.dtype)] * C
+            + [pltpu.VMEM((TS, 128), vals_sorted[0].dtype)] * C
             + [pltpu.SemaphoreType.DMA((C + 1,))]
         ),
     )
@@ -166,30 +173,37 @@ def sorted_scatter_add_pallas(acc, idx_sorted, vals_sorted,
     outs = pl.pallas_call(
         _make_kernel(C, T, B),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((nb * BS, 128), acc.dtype)] * C,
+        out_shape=[jax.ShapeDtypeStruct((nb * BS, 128), accs[0].dtype)] * C,
         input_output_aliases={2 + C + c: c for c in range(C)},
         interpret=interpret,
     )(row_start, idx_p, *val_ps, *acc_ps)
 
-    return jnp.stack([o.reshape(-1)[:Npix] for o in outs], axis=-1)
+    return tuple(o.reshape(-1)[:Npix] for o in outs)
 
 
-def scatter_add_accum(acc, idx, vals, block_rows=1024, tile_rows=1024):
-    """acc[(Npix, C)] += scatter of unsorted rows (idx (N,), vals (N, C)).
+def scatter_add_accum(accs, idx, vals, block_rows=1024, tile_rows=1024):
+    """accs[c][idx] += vals[c] for unsorted idx (N,), channel tuples.
 
     Pallas fast path on TPU; XLA ``.at[].add`` elsewhere. Out-of-range
     indices (>= Npix) are dropped — callers use Npix as the mask sentinel.
+    Channels are separate 1-D arrays (SoA; see sorted_scatter_add_pallas).
     """
+    accs = tuple(accs)
+    vals = tuple(vals)
     # Pallas path requires (a) a TPU backend and (b) tracing with x64
     # disabled — Mosaic fails to legalize gridded kernels traced under
     # jax_enable_x64 (the shell runners wrap their f32 hot paths in
     # utils.x64_disabled for exactly this reason).
     if jax.default_backend() == "cpu" or jax.config.jax_enable_x64:
-        Npix = acc.shape[0]
+        Npix = accs[0].shape[0]
         ok = idx < Npix
         safe = jnp.where(ok, idx, 0)
-        return acc.at[safe].add(jnp.where(ok[:, None], vals, 0.0))
+        return tuple(a.at[safe].add(jnp.where(ok, v, 0.0))
+                     for a, v in zip(accs, vals))
     order = jnp.argsort(idx)
-    return sorted_scatter_add_pallas(acc, idx[order].astype(jnp.int32),
-                                     vals[order], block_rows=block_rows,
+    idx_s = idx[order].astype(jnp.int32)
+    return sorted_scatter_add_pallas(accs, idx_s,
+                                     tuple(v[order].astype(accs[0].dtype)
+                                           for v in vals),
+                                     block_rows=block_rows,
                                      tile_rows=tile_rows)

@@ -177,12 +177,15 @@ def _accumulate_grid_offsets(Npix, half, n_props, use_rdelta, chunk, is2D,
         zz = sl(zs) if zs is not None else sl(xs)
         flat, dvec = jax.vmap(one_halo)(
             sl(xs), sl(ys), zz, sl(Ms), sl(Rs), sl(Rmats), sl(props))
+        dt_o = offs[0].dtype
         offs = scatter_add_accum(
             offs, flat.reshape(-1).astype(jnp.int32),
-            dvec.reshape(-1, dvec.shape[-1]).astype(offs.dtype))
+            tuple(dvec[..., c].reshape(-1).astype(dt_o)
+                  for c in range(dvec.shape[-1])))
         return offs, None
 
-    offsets, _ = jax.lax.scan(chunk_body, offsets, jnp.arange(n_chunks))
+    offsets, _ = jax.lax.scan(chunk_body, tuple(offsets),
+                              jnp.arange(n_chunks))
     return offsets
 
 
@@ -239,8 +242,8 @@ def _accumulate_grid_paint(Npix, half, n_props, chunk, is2D,
         zz = sl(zs) if zs is not None else sl(xs)
         flat, paint = jax.vmap(one_halo)(
             sl(xs), sl(ys), zz, sl(Ms), sl(Rs), sl(Rmats), sl(props))
-        m = scatter_add_accum(m, flat.reshape(-1).astype(jnp.int32),
-                              paint.reshape(-1, 1).astype(m.dtype))
+        (m,) = scatter_add_accum((m,), flat.reshape(-1).astype(jnp.int32),
+                                 (paint.reshape(-1).astype(m.dtype),))
         return m, None
 
     new_map, _ = jax.lax.scan(chunk_body, new_map, jnp.arange(n_chunks))
@@ -287,7 +290,8 @@ class BaryonifyGrid(DefaultRunnerGrid):
         with hot_ctx:
             grids_d = tuple(g.astype(dt) for g in model._grids)
             table_d = model._table.astype(dt)
-            offsets = jnp.zeros((gm.Npix ** dim, dim), dtype=dt)
+            zeros = jnp.zeros((gm.Npix ** dim,), dtype=dt)
+            offsets = (zeros,) * dim
             for idx in _nsize_buckets(Nsize[idx_all], self.n_buckets):
                 sel = idx_all[idx]
                 half = int(Nsize[sel].max() // 2)
@@ -308,26 +312,27 @@ class BaryonifyGrid(DefaultRunnerGrid):
                     jnp.asarray(pad(arrs['Rmat'][sel]), dtype=dt),
                     jnp.asarray(pad(arrs['props'][sel]), dtype=dt), offsets)
 
-            offsets_d = jnp.where(jnp.isfinite(offsets), offsets, 0.0)
+            offsets_d = tuple(jnp.where(jnp.isfinite(o), o, 0.0)
+                              for o in offsets)
 
             # add integer grid coordinates and redeposit (CIC); map layout
             # is map[ix, iy(, iz)]: flat index (ix*N + iy)*... is C-order
             N = gm.Npix
+            vals = jnp.asarray(orig_map.reshape(-1), dtype=dt)
             if gm.is2D:
                 ix, iy = np.divmod(np.arange(N * N), N)
-                pos = offsets_d + jnp.asarray(np.stack([ix, iy], axis=-1),
-                                              dtype=dt)
                 new_map = np.asarray(cic_deposit_2d(
-                    N, pos, jnp.asarray(orig_map.reshape(-1), dtype=dt),
-                    dtype=dt))
+                    N, offsets_d[0] + jnp.asarray(ix, dtype=dt),
+                    offsets_d[1] + jnp.asarray(iy, dtype=dt),
+                    vals, dtype=dt))
             else:
                 ixy, iz = np.divmod(np.arange(N ** 3), N)
                 ix, iy = np.divmod(ixy, N)
-                pos = offsets_d + jnp.asarray(
-                    np.stack([ix, iy, iz], axis=-1), dtype=dt)
                 new_map = np.asarray(cic_deposit_3d(
-                    N, pos, jnp.asarray(orig_map.reshape(-1), dtype=dt),
-                    dtype=dt))
+                    N, offsets_d[0] + jnp.asarray(ix, dtype=dt),
+                    offsets_d[1] + jnp.asarray(iy, dtype=dt),
+                    offsets_d[2] + jnp.asarray(iz, dtype=dt),
+                    vals, dtype=dt))
 
         new_sum, old_sum = new_map.sum(), orig_map.sum()
         assert np.isclose(new_sum, old_sum), (
@@ -372,7 +377,7 @@ class PaintProfilesGrid(DefaultRunnerGrid):
         with hot_ctx:
             grids_d = tuple(g.astype(dt) for g in model._grids)
             table_d = table.astype(dt)
-            new_map = jnp.zeros((gm.Npix ** dim, 1), dtype=dt)
+            new_map = jnp.zeros((gm.Npix ** dim,), dtype=dt)
             for idx in _nsize_buckets(Nsize, self.n_buckets):
                 half = int(Nsize[idx].max() // 2)
                 chunk = min(self.halo_chunk, len(idx))
@@ -392,7 +397,7 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                     jnp.asarray(pad(arrs['Rmat'][idx]), dtype=dt),
                     jnp.asarray(pad(arrs['props'][idx]), dtype=dt), new_map)
 
-            new_map = np.asarray(new_map)[:, 0]
+            new_map = np.asarray(new_map)
         if gm.is2D:
             return new_map.reshape(gm.Npix, gm.Npix)
         return new_map.reshape(gm.Npix, gm.Npix, gm.Npix)

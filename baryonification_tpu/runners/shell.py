@@ -7,10 +7,10 @@ here the whole pipeline is three device-resident stages:
 
   (A) per-halo gather: fixed-shape disc windows (bucketed by angular size
       so padding stays tight), vmapped over halo chunks;
-  (B) displacement table lookup + unit-vector offset accumulation into a
-      full-sky (Npix, 3) field via one scatter-add per chunk — offsets
-      from overlapping halos accumulate linearly *before* regridding,
-      exactly like the reference (`:331-333`);
+  (B) displacement table lookup + unit-vector offset accumulation into
+      full-sky per-component offset planes via one scatter-add per chunk —
+      offsets from overlapping halos accumulate linearly *before*
+      regridding, exactly like the reference (`:331-333`);
   (C) a single regrid: 4-neighbor bilinear weights for every displaced
       pixel and one conservative scatter-add (`regrid_pixels_hpix`
       equivalent), followed by the mass-conservation check (`:344-346`).
@@ -18,6 +18,11 @@ here the whole pipeline is three device-resident stages:
 Painting (PaintProfilesShell) is stage (A) plus an additive value scatter
 — no regrid — and therefore shards trivially over halos (the
 SplitJoinParallel contract, `utils/Parallelize.py:297-319`).
+
+Layout note: all 3-vector fields (pixel centers, offsets, deltas) ride as
+separate 1-D component planes (SoA). A TPU-resident (N, 3) array is tiled
+T(8, 128) — the minor dim pads to 128 lanes, 42x the logical size — which
+both OOMs at NSIDE 1024 scale and multiplies HBM traffic.
 """
 
 from functools import partial
@@ -150,16 +155,19 @@ class DefaultRunner:
             n_blocks += 1
         return npix // n_blocks
 
-    def _cells_of_pixels(self, nside_c, vec_table):
-        """Coarse cell id of every fine pixel (cached per nside_c)."""
+    def _cells_of_pixels(self, nside, nside_c):
+        """Coarse cell id of every fine pixel (cached per nside_c;
+        host-built once in f64 so the mapping is exact)."""
         cache = getattr(self, '_cell_cache', None)
         if cache is None:
             cache = {}
             self._cell_cache = cache
         if nside_c not in cache:
-            theta, phi = hpx.vec2ang(vec_table)
-            cache[nside_c] = hpx.ang2pix(nside_c, theta,
-                                         phi).astype(jnp.int32)
+            with jax.default_device(jax.devices("cpu")[0]):
+                theta, phi = hpx.pix2ang(nside,
+                                         jnp.arange(hpx.npix(nside)))
+                cells = np.asarray(hpx.ang2pix(nside_c, theta, phi))
+            cache[nside_c] = jnp.asarray(cells, dtype=jnp.int32)
         return cache[nside_c]
 
     @staticmethod
@@ -190,10 +198,10 @@ class DefaultRunner:
 @partial(jax.jit, static_argnames=("nside", "n_rings", "n_phi", "n_props",
                                    "use_rdelta"))
 def _accumulate_shell_offsets(nside, n_rings, n_phi, n_props, use_rdelta,
-                              tables, vec_table, grids, table,
+                              tables, vx, vy, vz, grids, table,
                               eps_max, theta, phi, M, a, R_com, D, props,
                               offsets):
-    """Accumulate per-pixel 3D unit-vector offsets for one chunk of halos.
+    """Accumulate per-pixel offset components for one chunk of halos.
 
     Mirrors the reference per-halo loop (`HealpixRunner.py:291-331`):
     query pixels, physical separations, displacement readout (comoving in,
@@ -205,15 +213,15 @@ def _accumulate_shell_offsets(nside, n_rings, n_phi, n_props, use_rdelta,
     dtype (f32 on TPU) — no f64 emulation in the hot path. Chunks are
     dispatched from the host (async): one jit per chunk keeps individual
     kernels small and robust while the device stays saturated.
+    ``offsets`` is a tuple of three (npix,) component planes.
     """
 
     def one_halo(th0, ph0, M_h, a_h, Rc_h, D_h, pr_h):
         radius = eps_max * (Rc_h * a_h) / D_h
-        pix, valid, pvec = hpx.disc_window_tab(tables, vec_table, th0, ph0,
-                                               radius, n_rings, n_phi)
+        pix, valid = hpx.disc_window_mask_tab(tables, th0, ph0,
+                                              radius, n_rings, n_phi)
         pix = pix.reshape(-1)
         valid = valid.reshape(-1)
-        pvec = pvec.reshape(-1, 3)
 
         # <4-pixel fallback: replace window by the 4 interp neighbors
         fb_pix, _ = hpx.get_interp_weights_tab(tables, th0, ph0)
@@ -222,11 +230,18 @@ def _accumulate_shell_offsets(nside, n_rings, n_phi, n_props, use_rdelta,
         pix = jnp.concatenate([pix, fb_pix])
         valid = jnp.concatenate([valid, jnp.broadcast_to(use_fb, (4,))])
 
-        vec = jnp.concatenate([pvec, vec_table[fb_pix]], axis=0)  # (W, 3)
-        v0 = hpx.ang2vec(th0, ph0)
-        pos = vec * D_h                                   # physical Mpc
-        diff = pos - v0 * D_h
-        r_sep = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        px = vx[pix]
+        py = vy[pix]
+        pz = vz[pix]
+        st0 = jnp.sin(th0)
+        v0x = st0 * jnp.cos(ph0)
+        v0y = st0 * jnp.sin(ph0)
+        v0z = jnp.cos(th0)
+        # physical separation components: (pvec - v0) * D
+        dx = (px - v0x) * D_h
+        dy = (py - v0y) * D_h
+        dz = (pz - v0z) * D_h
+        r_sep = jnp.sqrt(dx * dx + dy * dy + dz * dz)
 
         # displacement readout (comoving): d(r/a, M, a) * a. The (z, M,
         # props) axes are blended once per halo; per pixel only the 1-D
@@ -241,44 +256,67 @@ def _accumulate_shell_offsets(nside, n_rings, n_phi, n_props, use_rdelta,
         d = jnp.where(r_com < eps_max * Rc_h, d, 0.0)
         d = jnp.where(jnp.isfinite(d), d, 0.0) * a_h      # physical
 
-        offset = d[:, None] * diff / jnp.maximum(r_sep, 1e-30)[:, None]
-        # delta = normalize(pos + offset) - vec, computed without the
-        # catastrophic cancellation of the naive difference (needed for
-        # the float32 TPU path): with s = |pos+off| - D,
-        # delta = (off - vec * s) / |pos+off|.
-        nw = pos + offset
-        nw_norm = jnp.sqrt(jnp.sum(nw * nw, axis=-1))
-        s = ((2.0 * jnp.sum(pos * offset, axis=-1)
-              + jnp.sum(offset * offset, axis=-1))
-             / (nw_norm + D_h))
-        delta = (offset - vec * s[:, None]) / nw_norm[:, None]
-        delta = jnp.where((valid & jnp.all(jnp.isfinite(delta), axis=-1)
-                           )[:, None], delta, 0.0)
-        return jnp.where(valid, pix, 0), delta
+        scale = d / jnp.maximum(r_sep, 1e-30)
+        ofx = scale * dx
+        ofy = scale * dy
+        ofz = scale * dz
+        # delta = normalize(pos + offset) - pvec (pos = pvec * D),
+        # computed without the catastrophic cancellation of the naive
+        # difference (needed for the float32 TPU path): with
+        # s = |pos+off| - D, delta = (off - pvec * s) / |pos+off|.
+        nwx = px * D_h + ofx
+        nwy = py * D_h + ofy
+        nwz = pz * D_h + ofz
+        nw_norm = jnp.sqrt(nwx * nwx + nwy * nwy + nwz * nwz)
+        pos_dot_off = D_h * (px * ofx + py * ofy + pz * ofz)
+        off_sq = ofx * ofx + ofy * ofy + ofz * ofz
+        s = (2.0 * pos_dot_off + off_sq) / (nw_norm + D_h)
+        dxn = (ofx - px * s) / nw_norm
+        dyn = (ofy - py * s) / nw_norm
+        dzn = (ofz - pz * s) / nw_norm
+        good = (valid & jnp.isfinite(dxn) & jnp.isfinite(dyn)
+                & jnp.isfinite(dzn))
+        zero = jnp.zeros((), dtype=d.dtype)
+        return (jnp.where(valid, pix, 0),
+                jnp.where(good, dxn, zero),
+                jnp.where(good, dyn, zero),
+                jnp.where(good, dzn, zero))
 
-    pix, delta = jax.vmap(one_halo)(theta, phi, M, a, R_com, D, props)
+    pix, dxn, dyn, dzn = jax.vmap(one_halo)(theta, phi, M, a, R_com, D,
+                                            props)
+    dt = offsets[0].dtype
     return scatter_add_accum(offsets, pix.reshape(-1).astype(jnp.int32),
-                             delta.reshape(-1, 3).astype(offsets.dtype))
+                             (dxn.reshape(-1).astype(dt),
+                              dyn.reshape(-1).astype(dt),
+                              dzn.reshape(-1).astype(dt)))
 
 
 @partial(jax.jit, static_argnames=("nside", "n_rings", "n_phi", "n_props"))
 def _accumulate_shell_paint(nside, n_rings, n_phi, n_props,
-                            tables, vec_table, grids, table, eps_max,
+                            tables, vx, vy, vz, grids, table, eps_max,
                             theta, phi, M, a, R_com, D, props, new_map):
     """Additive profile painting for one chunk of halos
     (`HealpixRunner.py:418-445`): windowed gather, tabulated
-    projected-profile readout at the comoving separation, scatter-add."""
+    projected-profile readout at the comoving separation, scatter-add.
+    ``new_map`` is a single (npix,) plane."""
 
     def one_halo(th0, ph0, M_h, a_h, Rc_h, D_h, pr_h):
         radius = eps_max * (Rc_h * a_h) / D_h
-        pix, valid, vec = hpx.disc_window_tab(tables, vec_table, th0, ph0,
+        pix, valid = hpx.disc_window_mask_tab(tables, th0, ph0,
                                               radius, n_rings, n_phi)
         pix = pix.reshape(-1)
         valid = valid.reshape(-1)
-        vec = vec.reshape(-1, 3)
-        v0 = hpx.ang2vec(th0, ph0)
-        diff = (vec - v0) * D_h
-        r_sep = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        px = vx[pix]
+        py = vy[pix]
+        pz = vz[pix]
+        st0 = jnp.sin(th0)
+        v0x = st0 * jnp.cos(ph0)
+        v0y = st0 * jnp.sin(ph0)
+        v0z = jnp.cos(th0)
+        dx = (px - v0x) * D_h
+        dy = (py - v0y) * D_h
+        dz = (pz - v0z) * D_h
+        r_sep = jnp.sqrt(dx * dx + dy * dy + dz * dz)
 
         r_com = jnp.maximum(r_sep / a_h, 1e-30)
         scalars = [jnp.log(1.0 / a_h), jnp.log(M_h)] \
@@ -289,23 +327,33 @@ def _accumulate_shell_paint(nside, n_rings, n_phi, n_props,
         return jnp.where(valid, pix, 0), paint
 
     pix, paint = jax.vmap(one_halo)(theta, phi, M, a, R_com, D, props)
-    return scatter_add_accum(new_map, pix.reshape(-1).astype(jnp.int32),
-                             paint.reshape(-1, 1).astype(new_map.dtype))
+    (out,) = scatter_add_accum((new_map,),
+                               pix.reshape(-1).astype(jnp.int32),
+                               (paint.reshape(-1).astype(new_map.dtype),))
+    return out
 
 
 @partial(jax.jit, static_argnames=("nside",))
-def _regrid_shell(nside, tables, vec_table, orig_map, offsets):
+def _regrid_shell(nside, tables, vx, vy, vz, orig_map, offsets):
     """Stage C: displace every pixel's unit vector, bilinear-redeposit the
-    original mass (`HealpixRunner.py:333-341`)."""
-    vec = vec_table.astype(offsets.dtype) + offsets
-    theta, phi = hpx.vec2ang(vec)
-    cpix, w = hpx.get_interp_weights_tab(tables, theta, phi)
-    contrib = (w.astype(orig_map.dtype)
-               * orig_map[:, None]).reshape(-1, 1)
-    out = scatter_add_accum(jnp.zeros((hpx.npix(nside), 1),
-                                      dtype=orig_map.dtype),
-                            cpix.reshape(-1).astype(jnp.int32), contrib)
-    return out[:, 0]
+    original mass (`HealpixRunner.py:333-341`). ``offsets`` is the
+    (ox, oy, oz) component-plane tuple."""
+    ox, oy, oz = offsets
+    x = vx.astype(ox.dtype) + ox
+    y = vy.astype(ox.dtype) + oy
+    z = vz.astype(ox.dtype) + oz
+    r = jnp.sqrt(x * x + y * y + z * z)
+    theta = jnp.arccos(jnp.clip(z / r, -1.0, 1.0))
+    phi = jnp.arctan2(y, x)
+    phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+    ps, ws = hpx.get_interp_weights_parts_tab(tables, theta, phi)
+    idx = jnp.concatenate([p.astype(jnp.int32) for p in ps])
+    contrib = jnp.concatenate(
+        [w.astype(orig_map.dtype) * orig_map for w in ws])
+    (out,) = scatter_add_accum(
+        (jnp.zeros((hpx.npix(nside),), dtype=orig_map.dtype),),
+        idx, (contrib,))
+    return out
 
 
 def _pad_to(arrs, n, chunk):
@@ -354,14 +402,15 @@ class BaryonifyShell(DefaultRunner):
         table = model._table.astype(dt)
         grids = tuple(g.astype(dt) for g in model._grids)
         tables = hpx.RingTables(nside, dtype=dt)
-        vec_table = hpx.pixel_vectors(nside, dtype=dt)
+        vx, vy, vz = hpx.pixel_vectors_soa(nside, dtype=dt)
 
         # the f32 hot path (with its gridded Pallas scatters) must trace
         # with x64 disabled; see utils.x64_disabled
         hot_ctx = (x64_disabled() if dt == jnp.dtype('float32')
                    else nullcontext())
         with hot_ctx:
-            offsets = jnp.zeros((hpx.npix(nside), 3), dtype=dt)
+            zeros = jnp.zeros((hpx.npix(nside),), dtype=dt)
+            offsets = (zeros, zeros, zeros)
             buckets = _bucket_edges(arrs['radius'], self.n_buckets)
             block = self._pixel_block(hpx.npix(nside))
             if self.method == "gather":
@@ -370,8 +419,12 @@ class BaryonifyShell(DefaultRunner):
                 # vectors + scalar columns, sliced per bucket below
                 prof_all = sg.blend_halo_profiles(
                     grids, table, self._scalar_coords(arrs, dt, n_props))
-                v0_all = hpx.ang2vec(jnp.asarray(arrs['theta'], dtype=dt),
-                                     jnp.asarray(arrs['phi'], dtype=dt))
+                th_all = jnp.asarray(arrs['theta'], dtype=dt)
+                ph_all = jnp.asarray(arrs['phi'], dtype=dt)
+                st_all = jnp.sin(th_all)
+                v0x_all = st_all * jnp.cos(ph_all)
+                v0y_all = st_all * jnp.sin(ph_all)
+                v0z_all = jnp.cos(th_all)
                 D_all = jnp.asarray(arrs['D'], dtype=dt)
                 a_all = jnp.asarray(arrs['a'], dtype=dt)
                 Rc_all = jnp.asarray(arrs['R_com'], dtype=dt)
@@ -391,12 +444,13 @@ class BaryonifyShell(DefaultRunner):
                         print(f"Baryonifying matter: bucket {bi + 1}/"
                               f"{len(buckets)} ({len(idx)} halos, "
                               f"nside_c={nside_c}, K={K})")
-                    cells = self._cells_of_pixels(nside_c, vec_table)
+                    cells = self._cells_of_pixels(nside, nside_c)
                     offsets = sg.gather_offsets_pass(
-                        K, use_rdelta, block, cells, vec_table, hids,
-                        cell_start, v0_all[jidx], D_all[jidx], a_all[jidx],
+                        K, use_rdelta, block, cells, vx, vy, vz, hids,
+                        cell_start, v0x_all[jidx], v0y_all[jidx],
+                        v0z_all[jidx], D_all[jidx], a_all[jidx],
                         Rc_all[jidx], lnRc_all[jidx], prof_all[jidx],
-                        grids[2], float(self.epsilon_max), offsets)
+                        grids[2], float(self.epsilon_max), *offsets)
                     continue
 
                 n_rings, n_phi = _window_dims(nside, r_b)
@@ -411,7 +465,7 @@ class BaryonifyShell(DefaultRunner):
                     s = slice(c0, c0 + chunk)
                     offsets = _accumulate_shell_offsets(
                         nside, n_rings, n_phi, n_props, use_rdelta,
-                        tables, vec_table, grids, table,
+                        tables, vx, vy, vz, grids, table,
                         float(self.epsilon_max),
                         jnp.asarray(sub['theta'][s], dtype=dt),
                         jnp.asarray(sub['phi'][s], dtype=dt),
@@ -421,7 +475,7 @@ class BaryonifyShell(DefaultRunner):
                         jnp.asarray(sub['D'][s], dtype=dt),
                         jnp.asarray(sub['props'][s], dtype=dt), offsets)
 
-            new_map = _regrid_shell(nside, tables, vec_table,
+            new_map = _regrid_shell(nside, tables, vx, vy, vz,
                                     jnp.asarray(orig_map, dtype=dt),
                                     offsets)
         new_map = np.asarray(new_map, dtype=np.float64)
@@ -463,12 +517,12 @@ class PaintProfilesShell(DefaultRunner):
         table = model._ln2D.astype(dt)
         grids = tuple(g.astype(dt) for g in model._grids)
         tables = hpx.RingTables(nside, dtype=dt)
-        vec_table = hpx.pixel_vectors(nside, dtype=dt)
+        vx, vy, vz = hpx.pixel_vectors_soa(nside, dtype=dt)
 
         hot_ctx = (x64_disabled() if dt == jnp.dtype('float32')
                    else nullcontext())
         with hot_ctx:
-            new_map = jnp.zeros((hpx.npix(nside), 1), dtype=dt)
+            new_map = jnp.zeros((hpx.npix(nside),), dtype=dt)
             buckets = _bucket_edges(arrs['radius'], self.n_buckets)
             block = self._pixel_block(hpx.npix(nside))
             if self.method == "gather":
@@ -476,8 +530,12 @@ class PaintProfilesShell(DefaultRunner):
                 prof_all = sg.blend_halo_profiles(
                     grids, table,
                     self._scalar_coords(arrs, dt, len(p_keys)))
-                v0_all = hpx.ang2vec(jnp.asarray(arrs['theta'], dtype=dt),
-                                     jnp.asarray(arrs['phi'], dtype=dt))
+                th_all = jnp.asarray(arrs['theta'], dtype=dt)
+                ph_all = jnp.asarray(arrs['phi'], dtype=dt)
+                st_all = jnp.sin(th_all)
+                v0x_all = st_all * jnp.cos(ph_all)
+                v0y_all = st_all * jnp.sin(ph_all)
+                v0z_all = jnp.cos(th_all)
                 D_all = jnp.asarray(arrs['D'], dtype=dt)
                 a_all = jnp.asarray(arrs['a'], dtype=dt)
                 Rc_all = jnp.asarray(arrs['R_com'], dtype=dt)
@@ -496,13 +554,13 @@ class PaintProfilesShell(DefaultRunner):
                         print(f"Painting Profile: bucket {bi + 1}/"
                               f"{len(buckets)} ({len(idx)} halos, "
                               f"nside_c={nside_c}, K={K})")
-                    cells = self._cells_of_pixels(nside_c, vec_table)
-                    flat = sg.gather_paint_pass(
-                        K, block, cells, vec_table, hids, cell_start,
-                        v0_all[jidx], D_all[jidx], a_all[jidx],
-                        Rc_all[jidx], prof_all[jidx], grids[2],
-                        float(self.epsilon_max), new_map[:, 0])
-                    new_map = flat[:, None]
+                    cells = self._cells_of_pixels(nside, nside_c)
+                    new_map = sg.gather_paint_pass(
+                        K, block, cells, vx, vy, vz, hids, cell_start,
+                        v0x_all[jidx], v0y_all[jidx], v0z_all[jidx],
+                        D_all[jidx], a_all[jidx], Rc_all[jidx],
+                        prof_all[jidx], grids[2],
+                        float(self.epsilon_max), new_map)
                     continue
 
                 n_rings, n_phi = _window_dims(nside, r_b)
@@ -517,7 +575,7 @@ class PaintProfilesShell(DefaultRunner):
                     s = slice(c0, c0 + chunk)
                     new_map = _accumulate_shell_paint(
                         nside, n_rings, n_phi, len(p_keys),
-                        tables, vec_table, grids, table,
+                        tables, vx, vy, vz, grids, table,
                         float(self.epsilon_max),
                         jnp.asarray(sub['theta'][s], dtype=dt),
                         jnp.asarray(sub['phi'][s], dtype=dt),
@@ -527,7 +585,7 @@ class PaintProfilesShell(DefaultRunner):
                         jnp.asarray(sub['D'][s], dtype=dt),
                         jnp.asarray(sub['props'][s], dtype=dt), new_map)
 
-        return np.asarray(new_map, dtype=np.float64)[:, 0]
+        return np.asarray(new_map, dtype=np.float64)
 
 
 class PaintProfilesAnisShell(PaintProfilesShell):

@@ -19,6 +19,10 @@ The displacement semantics match the halo-major path up to the chord-vs-
 arc sliver at the epsilon_max boundary, where d ~ 0 (same class of edge
 convention as the reference's query_disc radius vs readout cutoff,
 `HealpixRunner.py:306` vs `BaryonCorrection.py:381`).
+
+All vector quantities ride as separate (N,) component planes (SoA): a
+TPU-resident (N, 3) array is tiled T(8, 128) — 42x its logical size in
+HBM — so the hot path never materializes one.
 """
 
 from functools import partial
@@ -28,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import healpix as hpx
-from ..ops.interp import blend_table_radial, radial_readout
+from ..ops.interp import blend_table_radial
 
 __all__ = ["coarse_halo_index", "blend_halo_profiles",
            "gather_offsets_pass", "gather_paint_pass"]
@@ -42,15 +46,19 @@ def pick_coarse_nside(radius_max, nside):
 
 
 @partial(jax.jit, static_argnames=("nc", "n_rings", "n_phi"))
-def _register_halos(nc, n_rings, n_phi, tables_c, vec_c, theta, phi,
-                    radius_reg):
+def _register_halos(nc, n_rings, n_phi, tables_c, theta, phi, radius_reg):
     """Device part of the coarse registration: windowed cell lists, one
-    sort, CSR cell_start. One compile per (nside_c, window shape)."""
+    sort, CSR cell_start. One compile per (nside_c, window shape).
+
+    Uses the no-pixel-vector window (disc_window_mask_tab): the batched
+    (H, NR, NP, 3) vector intermediate of the exact-test variant is tiled
+    T(8, 128) on TPU and OOMs at 1e6-halo scale.
+    """
     H = theta.shape[0]
 
     def one(th0, ph0, rr):
-        cells, valid, _ = hpx.disc_window_tab(tables_c, vec_c, th0, ph0,
-                                              rr, n_rings, n_phi)
+        cells, valid = hpx.disc_window_mask_tab(tables_c, th0, ph0, rr,
+                                                n_rings, n_phi)
         return cells.reshape(-1), valid.reshape(-1)
 
     cells, valid = jax.vmap(one)(theta, phi, radius_reg)
@@ -90,11 +98,10 @@ def coarse_halo_index(nside_c, theta, phi, radius, dtype=jnp.float32,
     n_phi = min(n_phi, 4 * nside_c)
 
     tables_c = hpx.RingTables(nside_c, dtype=dtype)
-    vec_c = hpx.pixel_vectors(nside_c, dtype=dtype)
 
     nc = hpx.npix(nside_c)
     hids_s, cell_start, K = _register_halos(
-        nc, n_rings, n_phi, tables_c, vec_c, theta.astype(dtype),
+        nc, n_rings, n_phi, tables_c, theta.astype(dtype),
         phi.astype(dtype), radius_reg.astype(dtype))
     return hids_s, cell_start, int(K)
 
@@ -114,40 +121,48 @@ def blend_halo_profiles(grids, table, scalars):
 
 
 @partial(jax.jit, static_argnames=("use_rdelta", "block"))
-def gather_offsets_pass(K, use_rdelta, block, cell_of_pixel, vec_table,
+def gather_offsets_pass(K, use_rdelta, block, cell_of_pixel, vx, vy, vz,
                         hids_sorted, cell_start,
-                        v0, D, a, R_com, lnR, profiles, lnr_grid,
-                        eps_max, offsets):
+                        v0x, v0y, v0z, D, a, R_com, lnR, profiles,
+                        lnr_grid, eps_max, ox, oy, oz):
     """One dense pixel pass for a bucket: offsets[p] += sum over the
     pixel's candidate halos of the displacement unit-vector delta.
 
     profiles : (H, Nr) per-halo blended radial displacement tables
     (comoving d(r) at lnr_grid nodes). K (max candidates per cell) is a
-    traced scalar — one compile per block shape.
+    traced scalar — one compile per block shape. All 3-vectors ride as
+    separate component planes.
     """
     npix = cell_of_pixel.shape[0]
     n_blocks = npix // block
-    dt = offsets.dtype
+    dt = ox.dtype
 
     def one_block(b):
         s = b * block
-        pvec = jax.lax.dynamic_slice_in_dim(vec_table, s, block)  # (B,3)
+        px = jax.lax.dynamic_slice_in_dim(vx, s, block)
+        py = jax.lax.dynamic_slice_in_dim(vy, s, block)
+        pz = jax.lax.dynamic_slice_in_dim(vz, s, block)
         cells = jax.lax.dynamic_slice_in_dim(cell_of_pixel, s, block)
         start = cell_start[cells]                                  # (B,)
         count = cell_start[cells + 1] - start
 
         def k_body(k, acc):
+            ax, ay, az = acc
             ok = k < count
             hid = hids_sorted[jnp.where(ok, start + k, 0)]
-            hv0 = v0[hid]                  # (B, 3)
+            hvx = v0x[hid]
+            hvy = v0y[hid]
+            hvz = v0z[hid]
             hD = D[hid]
             ha = a[hid]
             hR = R_com[hid]
             hlnR = lnR[hid]
 
-            pos = pvec * hD[:, None]
-            diff = pos - hv0 * hD[:, None]
-            r_sep = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+            # physical separation components: (pvec - v0) * D
+            dx = (px - hvx) * hD
+            dy = (py - hvy) * hD
+            dz = (pz - hvz) * hD
+            r_sep = jnp.sqrt(dx * dx + dy * dy + dz * dz)
             r_com = r_sep / ha
             lnr = jnp.log(jnp.maximum(r_com, 1e-30))
             rad = lnr - hlnR if use_rdelta else lnr
@@ -165,33 +180,45 @@ def gather_offsets_pass(K, use_rdelta, block, cell_of_pixel, vec_table,
             d = jnp.where(r_com < eps_max * hR, d, 0.0)
             # angular window parity with the halo-major path
             # (disc_window's pixel-center-in-disc test)
-            ang_ok = (jnp.sum(pvec * hv0, axis=-1)
-                      >= jnp.cos(eps_max * hR * ha / hD))
+            cosang = px * hvx + py * hvy + pz * hvz
+            ang_ok = cosang >= jnp.cos(eps_max * hR * ha / hD)
             d = jnp.where(ang_ok, d, 0.0)
             d = jnp.where(jnp.isfinite(d), d, 0.0) * ha     # physical
 
-            off = d[:, None] * diff / jnp.maximum(r_sep, 1e-30)[:, None]
-            # stable delta = normalize(pos + off) - pvec
-            nw = pos + off
-            nw_norm = jnp.sqrt(jnp.sum(nw * nw, axis=-1))
-            sft = ((2.0 * jnp.sum(pos * off, axis=-1)
-                    + jnp.sum(off * off, axis=-1)) / (nw_norm + hD))
-            delta = (off - pvec * sft[:, None]) / nw_norm[:, None]
-            delta = jnp.where(ok[:, None] & jnp.isfinite(delta).all(
-                axis=-1, keepdims=True), delta, 0.0)
-            return acc + delta
+            scale = d / jnp.maximum(r_sep, 1e-30)
+            ofx = scale * dx
+            ofy = scale * dy
+            ofz = scale * dz
+            # stable delta = normalize(pos + off) - pvec with pos = pvec*D
+            nwx = px * hD + ofx
+            nwy = py * hD + ofy
+            nwz = pz * hD + ofz
+            nw_norm = jnp.sqrt(nwx * nwx + nwy * nwy + nwz * nwz)
+            pos_dot_off = hD * (px * ofx + py * ofy + pz * ofz)
+            off_sq = ofx * ofx + ofy * ofy + ofz * ofz
+            sft = (2.0 * pos_dot_off + off_sq) / (nw_norm + hD)
+            dxn = (ofx - px * sft) / nw_norm
+            dyn = (ofy - py * sft) / nw_norm
+            dzn = (ofz - pz * sft) / nw_norm
+            good = (ok & jnp.isfinite(dxn) & jnp.isfinite(dyn)
+                    & jnp.isfinite(dzn))
+            zero = jnp.zeros((), dtype=dt)
+            return (ax + jnp.where(good, dxn, zero),
+                    ay + jnp.where(good, dyn, zero),
+                    az + jnp.where(good, dzn, zero))
 
-        return jax.lax.fori_loop(0, K, k_body,
-                                 jnp.zeros((block, 3), dtype=dt))
+        z = jnp.zeros((block,), dtype=dt)
+        return jax.lax.fori_loop(0, K, k_body, (z, z, z))
 
-    out = jax.lax.map(one_block, jnp.arange(n_blocks))
-    return offsets + out.reshape(npix, 3)
+    bx, by, bz = jax.lax.map(one_block, jnp.arange(n_blocks))
+    return (ox + bx.reshape(npix), oy + by.reshape(npix),
+            oz + bz.reshape(npix))
 
 
 @partial(jax.jit, static_argnames=("block",))
-def gather_paint_pass(K, block, cell_of_pixel, vec_table,
+def gather_paint_pass(K, block, cell_of_pixel, vx, vy, vz,
                       hids_sorted, cell_start,
-                      v0, D, a, R_com, profiles, lnr_grid,
+                      v0x, v0y, v0z, D, a, R_com, profiles, lnr_grid,
                       eps_max, new_map):
     """Dense painting pass: new_map[p] += sum of the pixel's candidate
     halos' projected-profile values (profiles hold log-values)."""
@@ -201,7 +228,9 @@ def gather_paint_pass(K, block, cell_of_pixel, vec_table,
 
     def one_block(b):
         s = b * block
-        pvec = jax.lax.dynamic_slice_in_dim(vec_table, s, block)
+        px = jax.lax.dynamic_slice_in_dim(vx, s, block)
+        py = jax.lax.dynamic_slice_in_dim(vy, s, block)
+        pz = jax.lax.dynamic_slice_in_dim(vz, s, block)
         cells = jax.lax.dynamic_slice_in_dim(cell_of_pixel, s, block)
         start = cell_start[cells]
         count = cell_start[cells + 1] - start
@@ -209,13 +238,17 @@ def gather_paint_pass(K, block, cell_of_pixel, vec_table,
         def k_body(k, acc):
             ok = k < count
             hid = hids_sorted[jnp.where(ok, start + k, 0)]
-            hv0 = v0[hid]
+            hvx = v0x[hid]
+            hvy = v0y[hid]
+            hvz = v0z[hid]
             hD = D[hid]
             ha = a[hid]
             hR = R_com[hid]
 
-            diff = (pvec - hv0) * hD[:, None]
-            r_sep = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+            dx = (px - hvx) * hD
+            dy = (py - hvy) * hD
+            dz = (pz - hvz) * hD
+            r_sep = jnp.sqrt(dx * dx + dy * dy + dz * dz)
             r_com = jnp.maximum(r_sep / ha, 1e-30)
             lnr = jnp.log(r_com)
 
@@ -231,8 +264,8 @@ def gather_paint_pass(K, block, cell_of_pixel, vec_table,
             paint = jnp.where((lnr >= g0) & (lnr <= lnr_grid[-1]), paint,
                               0.0)
             paint = jnp.where(r_com < eps_max * hR, paint, 0.0)
-            ang_ok = (jnp.sum(pvec * hv0, axis=-1)
-                      >= jnp.cos(eps_max * hR * ha / hD))
+            cosang = px * hvx + py * hvy + pz * hvz
+            ang_ok = cosang >= jnp.cos(eps_max * hR * ha / hD)
             paint = jnp.where(ang_ok & ok & jnp.isfinite(paint), paint,
                               0.0)
             return acc + paint

@@ -141,11 +141,14 @@ def _accumulate_particle_offsets(K, P, n_cells, dim, chunk, n_props,
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, idx * chunk, chunk)
         pidx, off = jax.vmap(one_halo)(
             sl(xh), sl(Mh), sl(ah), sl(Rh), sl(props))
+        dt_o = offs[0].dtype
         offs = scatter_add_accum(offs, pidx.reshape(-1).astype(jnp.int32),
-                                 off.reshape(-1, dim).astype(offs.dtype))
+                                 tuple(off[..., c].reshape(-1).astype(dt_o)
+                                       for c in range(dim)))
         return offs, None
 
-    offsets, _ = jax.lax.scan(chunk_body, offsets, jnp.arange(n_chunks))
+    offsets, _ = jax.lax.scan(chunk_body, tuple(offsets),
+                              jnp.arange(n_chunks))
     return offsets
 
 
@@ -188,7 +191,8 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
             grids_d = tuple(g.astype(dt) for g in model._grids)
             table_d = model._table.astype(dt)
             sorted_pos = jnp.asarray(self._coords[tree.order], dtype=dt)
-            offsets = jnp.zeros((len(self._coords), dim), dtype=dt)
+            zeros = jnp.zeros((len(self._coords),), dtype=dt)
+            offsets = (zeros,) * dim
 
             # bucket halos by query radius so the candidate-cell block K
             # stays tight per bucket
@@ -217,8 +221,9 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
 
         # scatter back to original particle order (the * a conversion is
         # applied inside the kernel)
-        tot = np.zeros_like(np.asarray(offsets))
-        tot[tree.order] = np.asarray(offsets)
+        off_np = np.stack([np.asarray(o) for o in offsets], axis=-1)
+        tot = np.zeros_like(off_np)
+        tot[tree.order] = off_np
 
         new_cat = snap.cat.copy()
         for d, cname in enumerate(coords_h):

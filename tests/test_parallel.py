@@ -75,30 +75,32 @@ class TestMeshBaryonify:
         grids = tuple(map(jnp.asarray, (zg, Mg, rg)))
 
         rt = hpx.RingTables(nside, dtype=jnp.float64)
-        vt = hpx.pixel_vectors(nside, dtype=jnp.float64)
+        vx, vy, vz = hpx.pixel_vectors_soa(nside, dtype=jnp.float64)
         npix = hpx.npix(nside)
         orig_map = jnp.asarray(rng.uniform(0.5, 1.5, npix))
         args = tuple(map(jnp.asarray, (theta, phi, M, a, R_com, D,
                                        np.zeros((n_halo, 0)))))
 
         # single device
+        z0 = jnp.zeros((npix,))
         offsets = _accumulate_shell_offsets(
-            nside, 6, 8, 0, False, rt, vt, grids, table, 20.0, *args,
-            jnp.zeros((npix, 3)))
-        want = np.asarray(_regrid_shell(nside, rt, vt, orig_map, offsets))
+            nside, 6, 8, 0, False, rt, vx, vy, vz, grids, table, 20.0,
+            *args, (z0, z0, z0))
+        want = np.asarray(_regrid_shell(nside, rt, vx, vy, vz, orig_map,
+                                        offsets))
 
         # sharded
         mesh = Mesh(np.array(jax.devices()), axis_names=("halos",))
 
         def step(*a):
             halo_args, omap = a[:-1], a[-1]
-            offs = jax.lax.pcast(jnp.zeros((npix, 3)), ('halos',),
-                                 to='varying')
+            zv = jax.lax.pcast(jnp.zeros((npix,)), ('halos',),
+                               to='varying')
             offs = _accumulate_shell_offsets(
-                nside, 6, 8, 0, False, rt, vt, grids, table, 20.0,
-                *halo_args, offs)
+                nside, 6, 8, 0, False, rt, vx, vy, vz, grids, table, 20.0,
+                *halo_args, (zv, zv, zv))
             offs = jax.lax.psum(offs, "halos")
-            return _regrid_shell(nside, rt, vt, omap, offs)
+            return _regrid_shell(nside, rt, vx, vy, vz, omap, offs)
 
         sharded = shard_map(step, mesh=mesh,
                             in_specs=tuple([P("halos")] * 7) + (P(),),
