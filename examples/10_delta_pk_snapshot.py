@@ -33,7 +33,7 @@ print("building 3D displacement table ...")
 model = Baryonification3D(DarkMatterOnly(**par), DarkMatterBaryon(**par),
                           cosmo, epsilon_max=10)
 model.setup_interpolator(z_min=0.05, z_max=0.5, N_samples_z=4,
-                         M_min=1e13, M_max=1e15.5, N_samples_Mass=12,
+                         M_min=1e13, M_max=10**15.5, N_samples_Mass=12,
                          R_min=1e-3, R_max=70, N_samples_R=100)
 
 # synthetic box: uniform particles + NFW-ish clumps at halo positions
