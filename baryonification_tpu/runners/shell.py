@@ -170,6 +170,26 @@ class DefaultRunner:
             cache[nside_c] = jnp.asarray(cells, dtype=jnp.int32)
         return cache[nside_c]
 
+    def _bucket_registration(self, bi, nside_c, sub, dt, r_b):
+        """Coarse halo registration for bucket ``bi``, cached on the
+        runner — the catalog is fixed per runner, so the spatial index
+        is reusable across process() calls (the same amortization the
+        reference gets from building its KDTree in __init__,
+        `SnapshotRunner.py:97`)."""
+        cache = getattr(self, '_reg_cache', None)
+        if cache is None:
+            cache = {}
+            self._reg_cache = cache
+        key = (bi, nside_c, str(dt))
+        if key not in cache:
+            from . import shell_gather as sg
+            cache[key] = sg.coarse_halo_index(
+                nside_c, jnp.asarray(sub['theta'], dtype=dt),
+                jnp.asarray(sub['phi'], dtype=dt),
+                jnp.asarray(sub['radius'], dtype=dt), dtype=dt,
+                r_max=r_b)
+        return cache[key]
+
     @staticmethod
     def _scalar_coords(arrs, dt, n_props):
         """(H, 2 + n_props) scalar table coordinates per halo:
@@ -435,11 +455,8 @@ class BaryonifyShell(DefaultRunner):
                 if self.method == "gather":
                     jidx = jnp.asarray(idx, dtype=jnp.int32)
                     nside_c = sg.pick_coarse_nside(r_b, nside)
-                    hids, cell_start, K = sg.coarse_halo_index(
-                        nside_c, jnp.asarray(sub['theta'], dtype=dt),
-                        jnp.asarray(sub['phi'], dtype=dt),
-                        jnp.asarray(sub['radius'], dtype=dt), dtype=dt,
-                        r_max=r_b)
+                    hids, cell_start, K = self._bucket_registration(
+                        bi, nside_c, sub, dt, r_b)
                     if self.verbose:
                         print(f"Baryonifying matter: bucket {bi + 1}/"
                               f"{len(buckets)} ({len(idx)} halos, "
@@ -545,11 +562,8 @@ class PaintProfilesShell(DefaultRunner):
                 if self.method == "gather":
                     jidx = jnp.asarray(idx, dtype=jnp.int32)
                     nside_c = sg.pick_coarse_nside(r_b, nside)
-                    hids, cell_start, K = sg.coarse_halo_index(
-                        nside_c, jnp.asarray(sub['theta'], dtype=dt),
-                        jnp.asarray(sub['phi'], dtype=dt),
-                        jnp.asarray(sub['radius'], dtype=dt), dtype=dt,
-                        r_max=r_b)
+                    hids, cell_start, K = self._bucket_registration(
+                        bi, nside_c, sub, dt, r_b)
                     if self.verbose:
                         print(f"Painting Profile: bucket {bi + 1}/"
                               f"{len(buckets)} ({len(idx)} halos, "

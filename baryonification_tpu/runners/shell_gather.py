@@ -59,7 +59,8 @@ def _register_halos(nc, n_rings, n_phi, tables_c, theta, phi, radius_reg):
     def one(th0, ph0, rr):
         cells, valid = hpx.disc_window_mask_tab(tables_c, th0, ph0, rr,
                                                 n_rings, n_phi)
-        return cells.reshape(-1), valid.reshape(-1)
+        # rr < 0 marks shape-padding halos: register nothing
+        return cells.reshape(-1), (valid & (rr >= 0)).reshape(-1)
 
     cells, valid = jax.vmap(one)(theta, phi, radius_reg)
     cells = jnp.where(valid, cells, nc).reshape(-1).astype(jnp.int32)
@@ -94,15 +95,24 @@ def coarse_halo_index(nside_c, theta, phi, radius, dtype=jnp.float32,
     r_max = r_max + 1.5 * resol_c
     n_rings = int(np.ceil(2 * r_max / (np.pi / (4 * nside_c)))) + 4
     n_phi = int(np.ceil(2.5 * r_max * 4 * nside_c / np.pi)) + 8
-    n_rings = min(n_rings, 4 * nside_c - 1)
-    n_phi = min(n_phi, 4 * nside_c)
+    # quantize window dims + halo count so compiles are shared across
+    # buckets/runs (pad halos carry radius < 0 => register nothing)
+    n_rings = min(-(-n_rings // 8) * 8, 4 * nside_c - 1)
+    n_phi = min(-(-n_phi // 8) * 8, 4 * nside_c)
+    H = theta.shape[0]
+    step = max(1024, 1 << max(max(H - 1, 1).bit_length() - 3, 0))
+    H_pad = -(-H // step) * step
+    pad = lambda v, fill: jnp.concatenate(
+        [v, jnp.full((H_pad - H,), fill, dtype=v.dtype)])         if H_pad > H else v
 
     tables_c = hpx.RingTables(nside_c, dtype=dtype)
 
     nc = hpx.npix(nside_c)
     hids_s, cell_start, K = _register_halos(
-        nc, n_rings, n_phi, tables_c, theta.astype(dtype),
-        phi.astype(dtype), radius_reg.astype(dtype))
+        nc, n_rings, n_phi, tables_c,
+        pad(theta.astype(dtype), 0.5 * np.pi),
+        pad(phi.astype(dtype), 0.0),
+        pad(radius_reg.astype(dtype), -1.0))
     return hids_s, cell_start, int(K)
 
 
