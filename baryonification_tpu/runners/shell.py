@@ -449,6 +449,10 @@ class BaryonifyShell(DefaultRunner):
                 a_all = jnp.asarray(arrs['a'], dtype=dt)
                 Rc_all = jnp.asarray(arrs['R_com'], dtype=dt)
                 lnRc_all = jnp.log(Rc_all)
+                # serialize: let the all-halo blend finish before queueing
+                # the bucket registrations (deep async queues of large ops
+                # have crashed the remote TPU worker)
+                jax.block_until_ready(prof_all)
             for bi, idx in enumerate(buckets):
                 sub = {k: v[idx] for k, v in arrs.items()}
                 r_b = float(sub['radius'].max())
@@ -556,6 +560,7 @@ class PaintProfilesShell(DefaultRunner):
                 D_all = jnp.asarray(arrs['D'], dtype=dt)
                 a_all = jnp.asarray(arrs['a'], dtype=dt)
                 Rc_all = jnp.asarray(arrs['R_com'], dtype=dt)
+                jax.block_until_ready(prof_all)
             for bi, idx in enumerate(buckets):
                 sub = {k: v[idx] for k, v in arrs.items()}
                 r_b = float(sub['radius'].max())
