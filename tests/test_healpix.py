@@ -158,3 +158,32 @@ class TestDiscWindow:
         want = set(allpix[centers @ v0 >= np.cos(radius)])
         assert len(got) == len(set(got.tolist()))
         assert set(got.tolist()) == want
+
+
+class TestDiscWindowMask:
+    def test_matches_vector_window(self):
+        """disc_window_mask_tab (analytic per-ring test, no pixel-vector
+        gathers) selects exactly the same pixels as disc_window_tab."""
+        nside = 32
+        rng = np.random.default_rng(3)
+        n = 40
+        theta0 = np.arccos(rng.uniform(-1, 1, n))
+        phi0 = rng.uniform(0, 2 * np.pi, n)
+        radius = rng.uniform(0.01, 0.4, n)
+        n_rings, n_phi = 40, 64
+
+        import jax
+        tables = hpx.RingTables(nside, dtype=jnp.float64)
+        vec = hpx.pixel_vectors(nside, dtype=jnp.float64)
+
+        p1, v1, _ = jax.vmap(lambda t, p, r: hpx.disc_window_tab(
+            tables, vec, t, p, r, n_rings, n_phi))(
+            jnp.asarray(theta0), jnp.asarray(phi0), jnp.asarray(radius))
+        p2, v2 = jax.vmap(lambda t, p, r: hpx.disc_window_mask_tab(
+            tables, t, p, r, n_rings, n_phi))(
+            jnp.asarray(theta0), jnp.asarray(phi0), jnp.asarray(radius))
+
+        for h in range(n):
+            got1 = set(np.asarray(p1[h])[np.asarray(v1[h])].tolist())
+            got2 = set(np.asarray(p2[h])[np.asarray(v2[h])].tolist())
+            assert got1 == got2, (h, got1 ^ got2)
