@@ -451,8 +451,10 @@ class BaryonifyShell(DefaultRunner):
                 lnRc_all = jnp.log(Rc_all)
                 # serialize: let the all-halo blend finish before queueing
                 # the bucket registrations (deep async queues of large ops
-                # have crashed the remote TPU worker)
-                jax.block_until_ready(prof_all)
+                # have crashed the remote TPU worker). block_until_ready is
+                # not a reliable barrier on the remote-TPU platform, so
+                # force completion through a scalar readback.
+                float(jnp.sum(prof_all[:, 0]))
             for bi, idx in enumerate(buckets):
                 sub = {k: v[idx] for k, v in arrs.items()}
                 r_b = float(sub['radius'].max())
@@ -560,7 +562,7 @@ class PaintProfilesShell(DefaultRunner):
                 D_all = jnp.asarray(arrs['D'], dtype=dt)
                 a_all = jnp.asarray(arrs['a'], dtype=dt)
                 Rc_all = jnp.asarray(arrs['R_com'], dtype=dt)
-                jax.block_until_ready(prof_all)
+                float(jnp.sum(prof_all[:, 0]))   # hard barrier (see above)
             for bi, idx in enumerate(buckets):
                 sub = {k: v[idx] for k, v in arrs.items()}
                 r_b = float(sub['radius'].max())
