@@ -116,12 +116,44 @@ def coarse_halo_index(nside_c, theta, phi, radius, dtype=jnp.float32,
     return hids_s, cell_start, int(K)
 
 
+def _axis_weights(g, c):
+    """One-hot linear-interp weight matrix W (H, N) for coords c on grid
+    g, plus the in-bounds mask: W @ values == lerp(values at c)."""
+    i = jnp.clip(jnp.searchsorted(g, c, side="right") - 1, 0,
+                 g.shape[0] - 2)
+    t = (c - g[i]) / (g[i + 1] - g[i])
+    n = jnp.arange(g.shape[0], dtype=jnp.int32)
+    eq0 = (n[None, :] == i[:, None])
+    eq1 = (n[None, :] == (i[:, None] + 1))
+    W = (jnp.where(eq0, (1.0 - t)[:, None], 0.0)
+         + jnp.where(eq1, t[:, None], 0.0)).astype(g.dtype)
+    inb = (c >= g[0]) & (c <= g[-1])
+    return W, inb
+
+
 @jax.jit
 def blend_halo_profiles(grids, table, scalars):
     """Per-halo blended radial table rows: (H, n_sc) scalar coords ->
-    (H, Nr) profiles. Module-level jit so the compile is shared across
-    buckets and process() calls."""
+    (H, Nr) profiles (NaN rows outside the non-r bounds, matching
+    blend_table_radial). Module-level jit so the compile is shared across
+    buckets and process() calls.
+
+    For the common (z, M) case the bilinear blend is expressed as one-hot
+    weight matmuls — Nz matmuls of (H, NM) @ (NM, Nr) on the MXU — instead
+    of H x 4 random row gathers (TPU gathers are the slow path; matmuls
+    are the fast one)."""
     n_sc = scalars.shape[1]
+
+    if n_sc == 2:
+        gz, gM = grids[0], grids[1]
+        Wz, inb_z = _axis_weights(gz, scalars[:, 0])
+        WM, inb_M = _axis_weights(gM, scalars[:, 1])
+        prof = jnp.zeros((scalars.shape[0], table.shape[2]),
+                         dtype=table.dtype)
+        for z in range(gz.shape[0]):
+            prof = prof + Wz[:, z:z + 1] * (WM @ table[z])
+        inb = inb_z & inb_M
+        return jnp.where(inb[:, None], prof, jnp.nan)
 
     def bp(row):
         return blend_table_radial(grids, table,
