@@ -518,3 +518,112 @@ def disc_window(nside, theta0, phi0, radius, n_rings, n_phi):
     slot_ok = (m >= -(span // 2)) & (m < span - span // 2)
     valid = valid & slot_ok
     return pix, valid
+
+
+# ----- NESTED ordering (host-side, vectorized numpy) -----
+#
+# The cell-major TPU kernels want fine pixels of any coarse cell to be
+# contiguous in memory, which is exactly the NESTED hierarchy: fine
+# nested pixel p at nside belongs to coarse nested cell p >> 2k at
+# nside >> k. Conversions follow the standard HEALPix (face, x, y)
+# decomposition (Gorski et al. 2005).
+
+_JRLL = np.array([2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4])
+_JPLL = np.array([1, 3, 5, 7, 0, 2, 4, 6, 1, 3, 5, 7])
+
+
+def _compress_bits(v):
+    """Keep even-position bits of v and pack them (uint64)."""
+    v = v & np.uint64(0x5555555555555555)
+    v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return v
+
+
+def _spread_bits(v):
+    """Inverse of _compress_bits: spread bits to even positions."""
+    v = v & np.uint64(0x00000000FFFFFFFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def nest2ring(nside, ipnest):
+    """NESTED -> RING pixel index (vectorized numpy, host-side)."""
+    n = int(nside)
+    p = np.asarray(ipnest, dtype=np.int64)
+    face = p // (n * n)
+    rem = (p - face * n * n).astype(np.uint64)
+    x = _compress_bits(rem).astype(np.int64)
+    y = _compress_bits(rem >> np.uint64(1)).astype(np.int64)
+
+    jr = _JRLL[face] * n - x - y - 1          # ring 1..4n-1
+    npx = 12 * n * n
+    ncap = 2 * n * (n - 1)
+
+    north = jr < n
+    south = jr > 3 * n
+    nr = np.where(north, jr, np.where(south, 4 * n - jr, n))
+    start = np.where(north, 2 * nr * (nr - 1),
+                     np.where(south, npx - 2 * nr * (nr + 1),
+                              ncap + (jr - n) * 4 * n))
+    kshift = np.where(north | south, 0, (jr - n) & 1)
+
+    jp = (_JPLL[face] * nr + x - y + 1 + kshift) // 2
+    jp = np.where(jp > 4 * nr, jp - 4 * nr, jp)
+    jp = np.where(jp < 1, jp + 4 * nr, jp)
+    return start + jp - 1
+
+
+def ring2nest(nside, ipring):
+    """RING -> NESTED pixel index (vectorized numpy, host-side)."""
+    n = int(nside)
+    p = np.asarray(ipring, dtype=np.int64)
+    npx = 12 * n * n
+    ncap = 2 * n * (n - 1)
+
+    # ring number jr and index-in-ring jp (1-based), per regime
+    north = p < ncap
+    south = p >= npx - ncap
+
+    ph = (p + 1) * 0.5
+    i_n = (np.floor(np.sqrt(np.maximum(ph - np.sqrt(np.floor(ph)), 0.0)))
+           + 1).astype(np.int64)
+    q = npx - 1 - p
+    qh = (q + 1) * 0.5
+    i_s = (np.floor(np.sqrt(np.maximum(qh - np.sqrt(np.floor(qh)), 0.0)))
+           + 1).astype(np.int64)
+
+    jr = np.where(north, i_n,
+                  np.where(south, 4 * n - i_s, (p - ncap) // (4 * n) + n))
+    nr = np.where(north, i_n, np.where(south, i_s, n))
+    start = np.where(north, 2 * nr * (nr - 1),
+                     np.where(south, npx - 2 * nr * (nr + 1),
+                              ncap + (jr - n) * 4 * n))
+    jp = p - start + 1
+    kshift = np.where(north | south, 0, (jr - n) & 1)
+
+    # face and (x - y), (x + y) from ring coordinates
+    ire = jr - n + 1                          # 1..2n+1 in equator
+    irm = 2 * n + 2 - ire
+    ifm = (jp - ire // 2 + n - 1) // n        # face index helpers
+    ifp = (jp - irm // 2 + n - 1) // n
+    face_eq = np.where(ifp == ifm, (ifp & 3) + 4,
+                       np.where(ifp < ifm, ifp & 3, (ifm & 3) + 8))
+    face_n = (jp - 1) // nr                   # north cap: 4 faces 0..3
+    face_s = 8 + (jp - 1) // nr
+    face = np.where(north, face_n, np.where(south, face_s, face_eq))
+
+    irt = jr - _JRLL[face] * n + 1            # -nside+1 .. 0
+    ipt = 2 * jp - _JPLL[face] * nr - kshift - 1
+    ipt = np.where(ipt >= 2 * n, ipt - 8 * n, ipt)
+    x = ((ipt - irt) // 2).astype(np.uint64)
+    y = ((-ipt - irt) // 2).astype(np.uint64)
+    rem = _spread_bits(x) | (_spread_bits(y) << np.uint64(1))
+    return (face * n * n + rem.astype(np.int64))
