@@ -118,13 +118,16 @@ class DefaultRunner:
             precision = ("float64" if jax.default_backend() == "cpu"
                          else "float32")
         self.dtype = jnp.dtype(precision)
-        # 'gather' = pixel-major dense pass (TPU-native, no sort/scatter
-        # in the hot loop); 'scatter' = halo-major windows + Pallas/XLA
-        # scatter (exact reference-loop semantics incl. the <4-pixel
-        # fallback). auto: gather on accelerators, scatter on CPU.
+        # 'cellmajor' = NESTED-order dense pass, per-slot data built by
+        # matmuls + one packed row gather (TPU speed-of-light path);
+        # 'gather' = pixel-major dense pass (per-pixel gathers — slower
+        # on TPU, kept for cross-checks); 'scatter' = halo-major windows
+        # + Pallas/XLA scatter (exact reference-loop semantics incl. the
+        # <4-pixel fallback). auto: cellmajor on accelerators, scatter
+        # on CPU.
         if method == "auto":
             method = ("scatter" if jax.default_backend() == "cpu"
-                      else "gather")
+                      else "cellmajor")
         self.method = method
         if use_ellipticity:
             raise NotImplementedError(
@@ -170,7 +173,8 @@ class DefaultRunner:
             cache[nside_c] = jnp.asarray(cells, dtype=jnp.int32)
         return cache[nside_c]
 
-    def _bucket_registration(self, bi, nside_c, sub, dt, r_b):
+    def _bucket_registration(self, bi, nside_c, sub, dt, r_b,
+                             cell_map=None):
         """Coarse halo registration for bucket ``bi``, cached on the
         runner — the catalog is fixed per runner, so the spatial index
         is reusable across process() calls (the same amortization the
@@ -180,15 +184,78 @@ class DefaultRunner:
         if cache is None:
             cache = {}
             self._reg_cache = cache
-        key = (bi, nside_c, str(dt))
+        key = (bi, nside_c, str(dt), cell_map is not None)
         if key not in cache:
             from . import shell_gather as sg
             cache[key] = sg.coarse_halo_index(
                 nside_c, jnp.asarray(sub['theta'], dtype=dt),
                 jnp.asarray(sub['phi'], dtype=dt),
                 jnp.asarray(sub['radius'], dtype=dt), dtype=dt,
-                r_max=r_b)
+                r_max=r_b, cell_map=cell_map)
         return cache[key]
+
+    def _dense_candidates(self, bi, nside_c, sub, dt, r_b):
+        """Dense NESTED-cell candidate matrix for the cell-major pass,
+        cached per bucket like the registration."""
+        cache = getattr(self, '_dense_cache', None)
+        if cache is None:
+            cache = {}
+            self._dense_cache = cache
+        key = (bi, nside_c, str(dt))
+        if key not in cache:
+            from . import shell_cellmajor as cm
+            hids, cell_start, K = self._bucket_registration(
+                bi, nside_c, sub, dt, r_b,
+                cell_map=self._cell_map_nested(nside_c))
+            K_pad = max(8, -(-K // 8) * 8)
+            dense, counts = cm.dense_cell_candidates(
+                hpx.npix(nside_c), K_pad, hids, cell_start)
+            cache[key] = (dense, counts, K)
+        return cache[key]
+
+    def _cell_map_nested(self, nside_c):
+        """(nc,) RING -> NESTED cell-id lookup, cached."""
+        cache = getattr(self, '_cmap_cache', None)
+        if cache is None:
+            cache = {}
+            self._cmap_cache = cache
+        if nside_c not in cache:
+            cache[nside_c] = jnp.asarray(
+                hpx.ring2nest(nside_c, np.arange(hpx.npix(nside_c))),
+                dtype=jnp.int32)
+        return cache[nside_c]
+
+    def _nested_maps(self, nside):
+        """(N2R, R2N) permutations: nested position -> ring pixel id,
+        and ring position -> nested pixel id. Cached."""
+        if getattr(self, '_nest_maps', None) is None:
+            n2r = hpx.nest2ring(nside, np.arange(hpx.npix(nside)))
+            r2n = hpx.ring2nest(nside, np.arange(hpx.npix(nside)))
+            self._nest_maps = (jnp.asarray(n2r, dtype=jnp.int32),
+                               jnp.asarray(r2n, dtype=jnp.int32))
+        return self._nest_maps
+
+    def _pixels_nested(self, nside, dt):
+        """Nested-order pixel unit-vector planes, cached per dtype."""
+        cache = getattr(self, '_pixn_cache', None)
+        if cache is None:
+            cache = {}
+            self._pixn_cache = cache
+        key = str(dt)
+        if key not in cache:
+            n2r, _ = self._nested_maps(nside)
+            vx, vy, vz = hpx.pixel_vectors_soa(nside, dtype=dt)
+            cache[key] = (vx[n2r], vy[n2r], vz[n2r])
+        return cache[key]
+
+    @staticmethod
+    def _cell_chunk(nside_c, F, target=1 << 18):
+        """Cells per lax.map step: a power of two (divides the 12 *
+        nside_c^2 cells) with ~target pixels per step."""
+        c = 1
+        while c * 2 * F <= target and c * 2 <= 4 * nside_c * nside_c:
+            c *= 2
+        return c
 
     @staticmethod
     def _scalar_coords(arrs, dt, n_props):
@@ -433,12 +500,8 @@ class BaryonifyShell(DefaultRunner):
             offsets = (zeros, zeros, zeros)
             buckets = _bucket_edges(arrs['radius'], self.n_buckets)
             block = self._pixel_block(hpx.npix(nside))
-            if self.method == "gather":
+            if self.method in ("gather", "cellmajor"):
                 from . import shell_gather as sg
-                # one all-halo device pass: blended profile rows + unit
-                # vectors + scalar columns, sliced per bucket below
-                prof_all = sg.blend_halo_profiles(
-                    grids, table, self._scalar_coords(arrs, dt, n_props))
                 th_all = jnp.asarray(arrs['theta'], dtype=dt)
                 ph_all = jnp.asarray(arrs['phi'], dtype=dt)
                 st_all = jnp.sin(th_all)
@@ -449,15 +512,47 @@ class BaryonifyShell(DefaultRunner):
                 a_all = jnp.asarray(arrs['a'], dtype=dt)
                 Rc_all = jnp.asarray(arrs['R_com'], dtype=dt)
                 lnRc_all = jnp.log(Rc_all)
+            if self.method == "gather":
+                # one all-halo device pass: blended profile rows, sliced
+                # per bucket below
+                prof_all = sg.blend_halo_profiles(
+                    grids, table, self._scalar_coords(arrs, dt, n_props))
                 # serialize: let the all-halo blend finish before queueing
                 # the bucket registrations (deep async queues of large ops
                 # have crashed the remote TPU worker). block_until_ready is
                 # not a reliable barrier on the remote-TPU platform, so
                 # force completion through a scalar readback.
                 float(jnp.sum(prof_all[:, 0]))
+            if self.method == "cellmajor":
+                from . import shell_cellmajor as cm
+                packed_all = cm.pack_halo_records(
+                    v0x_all, v0y_all, v0z_all, D_all, a_all, Rc_all,
+                    lnRc_all, jnp.log(1.0 / a_all),
+                    jnp.log(jnp.asarray(arrs['M'], dtype=dt)))
+                vxn, vyn, vzn = self._pixels_nested(nside, dt)
+                off_nested = (zeros, zeros, zeros)
+                float(jnp.sum(packed_all[:, 0]))   # hard barrier
             for bi, idx in enumerate(buckets):
                 sub = {k: v[idx] for k, v in arrs.items()}
                 r_b = float(sub['radius'].max())
+                if self.method == "cellmajor":
+                    jidx = jnp.asarray(idx, dtype=jnp.int32)
+                    nside_c = sg.pick_coarse_nside(r_b, nside)
+                    dense, counts, K = self._dense_candidates(
+                        bi, nside_c, sub, dt, r_b)
+                    F = (nside // nside_c) ** 2
+                    C_blk = self._cell_chunk(nside_c, F)
+                    if self.verbose:
+                        print(f"Baryonifying matter: bucket {bi + 1}/"
+                              f"{len(buckets)} ({len(idx)} halos, "
+                              f"nside_c={nside_c}, K={K}, F={F}, "
+                              f"C={C_blk})")
+                    off_nested = cm.cellmajor_offsets_pass(
+                        use_rdelta, F, C_blk, K, vxn, vyn, vzn,
+                        dense, counts, packed_all[jidx],
+                        grids[0], grids[1], table, grids[2],
+                        float(self.epsilon_max), *off_nested)
+                    continue
                 if self.method == "gather":
                     jidx = jnp.asarray(idx, dtype=jnp.int32)
                     nside_c = sg.pick_coarse_nside(r_b, nside)
@@ -497,6 +592,11 @@ class BaryonifyShell(DefaultRunner):
                         jnp.asarray(sub['R_com'][s], dtype=dt),
                         jnp.asarray(sub['D'][s], dtype=dt),
                         jnp.asarray(sub['props'][s], dtype=dt), offsets)
+
+            if self.method == "cellmajor":
+                # nested-order offsets -> ring order for the regrid
+                _, r2n = self._nested_maps(nside)
+                offsets = tuple(o[r2n] for o in off_nested)
 
             new_map = _regrid_shell(nside, tables, vx, vy, vz,
                                     jnp.asarray(orig_map, dtype=dt),
@@ -548,11 +648,8 @@ class PaintProfilesShell(DefaultRunner):
             new_map = jnp.zeros((hpx.npix(nside),), dtype=dt)
             buckets = _bucket_edges(arrs['radius'], self.n_buckets)
             block = self._pixel_block(hpx.npix(nside))
-            if self.method == "gather":
+            if self.method in ("gather", "cellmajor"):
                 from . import shell_gather as sg
-                prof_all = sg.blend_halo_profiles(
-                    grids, table,
-                    self._scalar_coords(arrs, dt, len(p_keys)))
                 th_all = jnp.asarray(arrs['theta'], dtype=dt)
                 ph_all = jnp.asarray(arrs['phi'], dtype=dt)
                 st_all = jnp.sin(th_all)
@@ -562,10 +659,40 @@ class PaintProfilesShell(DefaultRunner):
                 D_all = jnp.asarray(arrs['D'], dtype=dt)
                 a_all = jnp.asarray(arrs['a'], dtype=dt)
                 Rc_all = jnp.asarray(arrs['R_com'], dtype=dt)
+            if self.method == "gather":
+                prof_all = sg.blend_halo_profiles(
+                    grids, table,
+                    self._scalar_coords(arrs, dt, len(p_keys)))
                 float(jnp.sum(prof_all[:, 0]))   # hard barrier (see above)
+            if self.method == "cellmajor":
+                from . import shell_cellmajor as cm
+                packed_all = cm.pack_halo_records(
+                    v0x_all, v0y_all, v0z_all, D_all, a_all, Rc_all,
+                    jnp.log(Rc_all), jnp.log(1.0 / a_all),
+                    jnp.log(jnp.asarray(arrs['M'], dtype=dt)))
+                vxn, vyn, vzn = self._pixels_nested(nside, dt)
+                map_nested = jnp.zeros((hpx.npix(nside),), dtype=dt)
+                float(jnp.sum(packed_all[:, 0]))   # hard barrier
             for bi, idx in enumerate(buckets):
                 sub = {k: v[idx] for k, v in arrs.items()}
                 r_b = float(sub['radius'].max())
+                if self.method == "cellmajor":
+                    jidx = jnp.asarray(idx, dtype=jnp.int32)
+                    nside_c = sg.pick_coarse_nside(r_b, nside)
+                    dense, counts, K = self._dense_candidates(
+                        bi, nside_c, sub, dt, r_b)
+                    F = (nside // nside_c) ** 2
+                    C_blk = self._cell_chunk(nside_c, F)
+                    if self.verbose:
+                        print(f"Painting Profile: bucket {bi + 1}/"
+                              f"{len(buckets)} ({len(idx)} halos, "
+                              f"nside_c={nside_c}, K={K}, F={F}, "
+                              f"C={C_blk})")
+                    map_nested = cm.cellmajor_paint_pass(
+                        F, C_blk, K, vxn, vyn, vzn, dense, counts,
+                        packed_all[jidx], grids[0], grids[1], table,
+                        grids[2], float(self.epsilon_max), map_nested)
+                    continue
                 if self.method == "gather":
                     jidx = jnp.asarray(idx, dtype=jnp.int32)
                     nside_c = sg.pick_coarse_nside(r_b, nside)
@@ -605,6 +732,10 @@ class PaintProfilesShell(DefaultRunner):
                         jnp.asarray(sub['R_com'][s], dtype=dt),
                         jnp.asarray(sub['D'][s], dtype=dt),
                         jnp.asarray(sub['props'][s], dtype=dt), new_map)
+
+            if self.method == "cellmajor":
+                _, r2n = self._nested_maps(nside)
+                new_map = new_map + map_nested[r2n]
 
         return np.asarray(new_map, dtype=np.float64)
 

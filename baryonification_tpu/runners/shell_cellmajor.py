@@ -1,0 +1,273 @@
+"""Cell-major shell kernels: the TPU speed-of-light formulation.
+
+Why a third formulation: the pixel-major pass (shell_gather.py) performs
+~10 random gathers per (pixel, candidate) slot, and XLA TPU gathers cost
+~10 ns per row regardless of locality — measured 140 ns per slot, which
+is minutes at NSIDE 1024 x 1e6 halos. This module removes per-pixel
+gathers entirely:
+
+  1. fine pixels are processed in NESTED order, so all F = (nside /
+     nside_c)^2 pixels of a coarse cell are one contiguous block;
+  2. per (cell, candidate-slot): ONE row gather of the halo's packed
+     16-float record (row gathers stream at ~1 GB/s-of-rows), and the
+     halo's radial profile row is REBUILT from the small (Nz, NM, Nr)
+     base table with one-hot weight matmuls on the MXU — bitwise the
+     same bilinear blend the tabulation defines;
+  3. the radial lerp readout is an unrolled hat-basis reduction over the
+     Nr nodes — pure VPU elementwise work on (cells, K, F) tiles,
+     zero gathers: sum_n max(0, 1 - |t - n|) * A[n] is exactly linear
+     interpolation on the uniform log grid.
+
+Per-slot data movement is amortized over the F pixels of the cell, and
+everything else is dense vector/matrix work. Semantics match
+shell_gather.gather_*_pass exactly (same masks, same stable delta).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import healpix as hpx
+
+__all__ = ["pack_halo_records", "dense_cell_candidates",
+           "cellmajor_offsets_pass", "cellmajor_paint_pass"]
+
+
+def pack_halo_records(v0x, v0y, v0z, D, a, R_com, lnR, ln1pz, lnM):
+    """(H, 16) packed per-halo record — one row gather per slot fetches
+    everything the kernel needs (columns 9..15 are padding to a lane-
+    friendly width)."""
+    H = v0x.shape[0]
+    dt = v0x.dtype
+    cols = [v0x, v0y, v0z, D, a, R_com, lnR, ln1pz, lnM]
+    out = jnp.stack(cols + [jnp.zeros((H,), dt)] * (16 - len(cols)),
+                    axis=-1)
+    return out
+
+
+@partial(jax.jit, static_argnames=("nc", "K_pad"))
+def dense_cell_candidates(nc, K_pad, hids_sorted, cell_start):
+    """CSR registration -> dense (nc * K_pad,) halo-id matrix + (nc,)
+    counts. Pad slots hold 0 (masked by count in the kernel)."""
+    counts = jnp.minimum(cell_start[1:] - cell_start[:-1], K_pad)
+    reg_len = hids_sorted.shape[0]
+    k = jnp.arange(K_pad, dtype=jnp.int32)[None, :]
+    src = jnp.minimum(cell_start[:-1][:, None] + k, reg_len - 1)
+    dense = jnp.where(k < counts[:, None], hids_sorted[src], 0)
+    return dense.reshape(-1), counts.astype(jnp.int32)
+
+
+def _blend_rows(packed_k, gz, gM, base_table):
+    """Rebuild the (C,) slots' radial profile rows A (C, Nr) from the
+    base (Nz, NM, Nr) table by one-hot bilinear matmuls (identical
+    arithmetic to ops.interp.blend_table_radial; NaN -> masked later via
+    the in-bounds flags)."""
+    ln1pz = packed_k[:, 7]
+    lnM = packed_k[:, 8]
+
+    def axis_w(g, c):
+        i = jnp.clip(jnp.searchsorted(g, c, side="right") - 1, 0,
+                     g.shape[0] - 2)
+        t = (c - g[i]) / (g[i + 1] - g[i])
+        n = jnp.arange(g.shape[0], dtype=jnp.int32)
+        W = (jnp.where(n[None, :] == i[:, None], (1.0 - t)[:, None], 0.0)
+             + jnp.where(n[None, :] == i[:, None] + 1, t[:, None], 0.0))
+        inb = (c >= g[0]) & (c <= g[-1])
+        return W.astype(g.dtype), inb
+
+    Wz, inb_z = axis_w(gz, ln1pz)
+    WM, inb_M = axis_w(gM, lnM)
+    A = jnp.zeros((packed_k.shape[0], base_table.shape[2]),
+                  dtype=base_table.dtype)
+    for z in range(gz.shape[0]):
+        A = A + Wz[:, z:z + 1] * (WM @ base_table[z])
+    return A, (inb_z & inb_M)
+
+
+def _hat_readout(A, t, Nr):
+    """Exact piecewise-linear readout d[c, f] = lerp(A[c, :], t[c, f])
+    as an unrolled hat-basis reduction — no gathers, pure VPU."""
+    tc = jnp.clip(t, 0.0, float(Nr - 1))
+    d = jnp.zeros_like(t)
+    for n_node in range(Nr):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(tc - n_node))
+        d = d + w * A[:, n_node][:, None]
+    return d
+
+
+@partial(jax.jit, static_argnames=("use_rdelta", "F", "C_blk"))
+def cellmajor_offsets_pass(use_rdelta, F, C_blk, K_pad_t,
+                           pix_x, pix_y, pix_z, hid_dense, counts,
+                           packed, gz, gM, base_table, lnr_grid,
+                           eps_max, ox, oy, oz):
+    """One bucket's displacement pass over all pixels in NESTED order.
+
+    pix_* : (npix,) nested-order pixel unit-vector planes
+    hid_dense : (ncell * K_pad,) dense candidate halo ids (int32)
+    counts : (ncell,) candidates per cell
+    packed : (H, 16) pack_halo_records output
+    K_pad_t : traced slot bound (<= the static K_pad used to build
+              hid_dense; the fori loop runs only to it)
+    Output: nested-order offset planes (accumulated onto ox/oy/oz).
+    """
+    npix = pix_x.shape[0]
+    ncell = counts.shape[0]
+    K_pad = hid_dense.shape[0] // ncell
+    Nr = base_table.shape[2]
+    n_chunks = ncell // C_blk
+    dt = ox.dtype
+    g0 = lnr_grid[0]
+    dg = lnr_grid[1] - lnr_grid[0]
+    # sanitize once: a non-finite table node would poison the one-hot
+    # matmuls (0 * inf = NaN) for every slot
+    base_table = jnp.where(jnp.isfinite(base_table), base_table, 0.0)
+
+    def one_chunk(c0):
+        s_pix = c0 * (C_blk * F)
+        px = jax.lax.dynamic_slice_in_dim(pix_x, s_pix,
+                                          C_blk * F).reshape(C_blk, F)
+        py = jax.lax.dynamic_slice_in_dim(pix_y, s_pix,
+                                          C_blk * F).reshape(C_blk, F)
+        pz = jax.lax.dynamic_slice_in_dim(pix_z, s_pix,
+                                          C_blk * F).reshape(C_blk, F)
+        cnt = jax.lax.dynamic_slice_in_dim(counts, c0 * C_blk, C_blk)
+        hid_blk = jax.lax.dynamic_slice_in_dim(
+            hid_dense, c0 * C_blk * K_pad,
+            C_blk * K_pad).reshape(C_blk, K_pad)
+
+        def k_body(k, acc):
+            ax, ay, az = acc
+            ok = (k < cnt)                                   # (C,)
+            hid = hid_blk[:, k]                              # (C,)
+            rec = packed[hid]                                # (C, 16)
+            hvx = rec[:, 0][:, None]
+            hvy = rec[:, 1][:, None]
+            hvz = rec[:, 2][:, None]
+            hD = rec[:, 3][:, None]
+            ha = rec[:, 4][:, None]
+            hR = rec[:, 5][:, None]
+            hlnR = rec[:, 6][:, None]
+
+            A, inb = _blend_rows(rec, gz, gM, base_table)    # (C, Nr)
+            live = ok & inb                                  # (C,)
+
+            dx = (px - hvx) * hD
+            dy = (py - hvy) * hD
+            dz = (pz - hvz) * hD
+            r_sep = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            r_com = r_sep / ha
+            lnr = jnp.log(jnp.maximum(r_com, 1e-30))
+            rad = lnr - hlnR if use_rdelta else lnr
+            t = (rad - g0) / dg
+
+            d = _hat_readout(A, t, Nr)
+            d = jnp.where((rad >= g0) & (rad <= lnr_grid[-1]), d, 0.0)
+            d = jnp.where(r_com < eps_max * hR, d, 0.0)
+            cosang = px * hvx + py * hvy + pz * hvz
+            ang_ok = cosang >= jnp.cos(eps_max * hR * ha / hD)
+            d = jnp.where(ang_ok & live[:, None], d, 0.0)
+            d = jnp.where(jnp.isfinite(d), d, 0.0) * ha      # physical
+
+            scale = d / jnp.maximum(r_sep, 1e-30)
+            ofx = scale * dx
+            ofy = scale * dy
+            ofz = scale * dz
+            nwx = px * hD + ofx
+            nwy = py * hD + ofy
+            nwz = pz * hD + ofz
+            nw_norm = jnp.sqrt(nwx * nwx + nwy * nwy + nwz * nwz)
+            pdo = hD * (px * ofx + py * ofy + pz * ofz)
+            osq = ofx * ofx + ofy * ofy + ofz * ofz
+            sft = (2.0 * pdo + osq) / (nw_norm + hD)
+            dxn = (ofx - px * sft) / nw_norm
+            dyn = (ofy - py * sft) / nw_norm
+            dzn = (ofz - pz * sft) / nw_norm
+            good = (jnp.isfinite(dxn) & jnp.isfinite(dyn)
+                    & jnp.isfinite(dzn))
+            zero = jnp.zeros((), dtype=dt)
+            return (ax + jnp.where(good, dxn, zero),
+                    ay + jnp.where(good, dyn, zero),
+                    az + jnp.where(good, dzn, zero))
+
+        z = jnp.zeros((C_blk, F), dtype=dt)
+        bx, by, bz = jax.lax.fori_loop(0, K_pad_t, k_body, (z, z, z))
+        return bx.reshape(-1), by.reshape(-1), bz.reshape(-1)
+
+    bx, by, bz = jax.lax.map(one_chunk, jnp.arange(n_chunks))
+    return (ox + bx.reshape(npix), oy + by.reshape(npix),
+            oz + bz.reshape(npix))
+
+
+@partial(jax.jit, static_argnames=("F", "C_blk"))
+def cellmajor_paint_pass(F, C_blk, K_pad_t,
+                         pix_x, pix_y, pix_z, hid_dense, counts,
+                         packed, gz, gM, base_table, lnr_grid,
+                         eps_max, new_map):
+    """Cell-major painting pass (log-profile base table; exp readout)."""
+    npix = pix_x.shape[0]
+    ncell = counts.shape[0]
+    K_pad = hid_dense.shape[0] // ncell
+    Nr = base_table.shape[2]
+    n_chunks = ncell // C_blk
+    dt = new_map.dtype
+    g0 = lnr_grid[0]
+    dg = lnr_grid[1] - lnr_grid[0]
+    # log-profile tables carry -inf/NaN where the profile is 0; a large
+    # negative FINITE stand-in keeps the one-hot matmuls NaN-free and
+    # still paints exp(...) = 0 wherever such a node is touched
+    base_table = jnp.where(jnp.isfinite(base_table), base_table, -1e30)
+
+    def one_chunk(c0):
+        s_pix = c0 * (C_blk * F)
+        px = jax.lax.dynamic_slice_in_dim(pix_x, s_pix,
+                                          C_blk * F).reshape(C_blk, F)
+        py = jax.lax.dynamic_slice_in_dim(pix_y, s_pix,
+                                          C_blk * F).reshape(C_blk, F)
+        pz = jax.lax.dynamic_slice_in_dim(pix_z, s_pix,
+                                          C_blk * F).reshape(C_blk, F)
+        cnt = jax.lax.dynamic_slice_in_dim(counts, c0 * C_blk, C_blk)
+        hid_blk = jax.lax.dynamic_slice_in_dim(
+            hid_dense, c0 * C_blk * K_pad,
+            C_blk * K_pad).reshape(C_blk, K_pad)
+
+        def k_body(k, acc):
+            ok = (k < cnt)
+            hid = hid_blk[:, k]
+            rec = packed[hid]
+            hvx = rec[:, 0][:, None]
+            hvy = rec[:, 1][:, None]
+            hvz = rec[:, 2][:, None]
+            hD = rec[:, 3][:, None]
+            ha = rec[:, 4][:, None]
+            hR = rec[:, 5][:, None]
+
+            A, inb = _blend_rows(rec, gz, gM, base_table)
+            live = ok & inb
+
+            dx = (px - hvx) * hD
+            dy = (py - hvy) * hD
+            dz = (pz - hvz) * hD
+            r_sep = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            r_com = jnp.maximum(r_sep / ha, 1e-30)
+            lnr = jnp.log(r_com)
+            t = (lnr - g0) / dg
+
+            lnp = _hat_readout(A, t, Nr)
+            paint = jnp.exp(lnp)
+            paint = jnp.where((lnr >= g0) & (lnr <= lnr_grid[-1]),
+                              paint, 0.0)
+            paint = jnp.where(r_com < eps_max * hR, paint, 0.0)
+            cosang = px * hvx + py * hvy + pz * hvz
+            ang_ok = cosang >= jnp.cos(eps_max * hR * ha / hD)
+            paint = jnp.where(ang_ok & live[:, None]
+                              & jnp.isfinite(paint), paint, 0.0)
+            return acc + paint
+
+        z = jnp.zeros((C_blk, F), dtype=dt)
+        out = jax.lax.fori_loop(0, K_pad_t, k_body, z)
+        return out.reshape(-1)
+
+    out = jax.lax.map(one_chunk, jnp.arange(n_chunks))
+    return new_map + out.reshape(npix)

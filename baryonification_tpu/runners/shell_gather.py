@@ -46,7 +46,8 @@ def pick_coarse_nside(radius_max, nside):
 
 
 @partial(jax.jit, static_argnames=("nc", "n_rings", "n_phi"))
-def _register_halos(nc, n_rings, n_phi, tables_c, theta, phi, radius_reg):
+def _register_halos(nc, n_rings, n_phi, tables_c, theta, phi, radius_reg,
+                    cell_map=None):
     """Device part of the coarse registration: windowed cell lists, one
     sort, CSR cell_start. One compile per (nside_c, window shape).
 
@@ -63,6 +64,10 @@ def _register_halos(nc, n_rings, n_phi, tables_c, theta, phi, radius_reg):
         return cells.reshape(-1), (valid & (rr >= 0)).reshape(-1)
 
     cells, valid = jax.vmap(one)(theta, phi, radius_reg)
+    if cell_map is not None:
+        # remap RING window cells to another cell numbering (NESTED for
+        # the cell-major kernels) before sorting
+        cells = cell_map[jnp.clip(cells, 0, nc - 1)]
     cells = jnp.where(valid, cells, nc).reshape(-1).astype(jnp.int32)
     hids = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[:, None],
                             valid.shape).reshape(-1)
@@ -78,7 +83,7 @@ def _register_halos(nc, n_rings, n_phi, tables_c, theta, phi, radius_reg):
 
 
 def coarse_halo_index(nside_c, theta, phi, radius, dtype=jnp.float32,
-                      r_max=None):
+                      r_max=None, cell_map=None):
     """Register halos in every coarse cell their disc may touch.
 
     Returns (halo_ids_sorted, cell_start) over the nc = 12 nside_c^2
@@ -112,7 +117,7 @@ def coarse_halo_index(nside_c, theta, phi, radius, dtype=jnp.float32,
         nc, n_rings, n_phi, tables_c,
         pad(theta.astype(dtype), 0.5 * np.pi),
         pad(phi.astype(dtype), 0.0),
-        pad(radius_reg.astype(dtype), -1.0))
+        pad(radius_reg.astype(dtype), -1.0), cell_map=cell_map)
     return hids_s, cell_start, int(K)
 
 

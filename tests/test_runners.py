@@ -137,6 +137,35 @@ class TestGatherScatterParity:
         np.testing.assert_allclose(m_ga, m_sc, atol=1e-6 * max(scale, 1e-30),
                                    rtol=1e-6)
 
+    def test_baryonify_cellmajor_agrees(self, shell_setup, displ2d):
+        """Cell-major (NESTED dense, matmul-blended, hat readout) path
+        matches the halo-major scatter path."""
+        cat, shell = shell_setup
+        m_sc = BaryonifyShell(cat, shell, epsilon_max=20, model=displ2d,
+                              method="scatter", verbose=False).process()
+        m_cm = BaryonifyShell(cat, shell, epsilon_max=20, model=displ2d,
+                              method="cellmajor", verbose=False).process()
+        assert np.isclose(m_cm.sum(), shell.map.sum(), rtol=1e-8)
+        scale = np.abs(m_sc - shell.map).max()
+        np.testing.assert_allclose(m_cm, m_sc, atol=1e-6 * max(scale, 1e-30),
+                                   rtol=1e-6)
+
+    def test_paint_cellmajor_agrees(self, shell_setup, cosmo):
+        from baryonification_tpu.profiles import Gas
+        from baryonification_tpu.tabulate import TabulatedProfile
+        cat, shell = shell_setup
+        gas = TabulatedProfile(Gas(**PAR), cosmo)
+        gas.setup_interpolator(z_min=0.05, z_max=0.6, N_samples_z=4,
+                               M_min=1e13, M_max=1e15, N_samples_Mass=6,
+                               R_min=1e-3, R_max=70, N_samples_R=48)
+        p_sc = PaintProfilesShell(cat, shell, epsilon_max=5, model=gas,
+                                  method="scatter", verbose=False).process()
+        p_cm = PaintProfilesShell(cat, shell, epsilon_max=5, model=gas,
+                                  method="cellmajor",
+                                  verbose=False).process()
+        np.testing.assert_allclose(p_cm, p_sc, rtol=1e-6,
+                                   atol=1e-9 * p_sc.max())
+
     def test_paint_methods_agree(self, shell_setup, cosmo):
         from baryonification_tpu.profiles import Gas
         from baryonification_tpu.tabulate import TabulatedProfile
