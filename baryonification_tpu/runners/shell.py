@@ -249,6 +249,14 @@ class DefaultRunner:
         return cache[key]
 
     @staticmethod
+    def _node_bound(g2, rad_max, Nr):
+        """Static radial-node bound for a bucket: nodes above the
+        largest reachable lnr (eps_max * R cutoff) contribute nothing;
+        quantized up so compiles are shared."""
+        n_hi = int(np.floor((rad_max - g2[0]) / (g2[1] - g2[0]))) + 2
+        return min(Nr, max(16, -(-n_hi // 16) * 16))
+
+    @staticmethod
     def _cell_chunk(nside_c, F, target=1 << 18):
         """Cells per lax.map step: a power of two (divides the 12 *
         nside_c^2 cells) with ~target pixels per step."""
@@ -542,13 +550,18 @@ class BaryonifyShell(DefaultRunner):
                         bi, nside_c, sub, dt, r_b)
                     F = (nside // nside_c) ** 2
                     C_blk = self._cell_chunk(nside_c, F)
+                    g2 = np.asarray(model._grids[2])
+                    rad_max = (np.log(self.epsilon_max) if use_rdelta
+                               else np.log(self.epsilon_max
+                                           * sub['R_com'].max()))
+                    n_hi = self._node_bound(g2, rad_max, len(g2))
                     if self.verbose:
                         print(f"Baryonifying matter: bucket {bi + 1}/"
                               f"{len(buckets)} ({len(idx)} halos, "
                               f"nside_c={nside_c}, K={K}, F={F}, "
-                              f"C={C_blk})")
+                              f"C={C_blk}, n_hi={n_hi})")
                     off_nested = cm.cellmajor_offsets_pass(
-                        use_rdelta, F, C_blk, K, vxn, vyn, vzn,
+                        use_rdelta, F, C_blk, n_hi, vxn, vyn, vzn,
                         dense, counts, packed_all[jidx],
                         grids[0], grids[1], table, grids[2],
                         float(self.epsilon_max), *off_nested)
@@ -683,13 +696,17 @@ class PaintProfilesShell(DefaultRunner):
                         bi, nside_c, sub, dt, r_b)
                     F = (nside // nside_c) ** 2
                     C_blk = self._cell_chunk(nside_c, F)
+                    g2 = np.asarray(model._grids[2])
+                    rad_max = np.log(self.epsilon_max
+                                     * sub['R_com'].max())
+                    n_hi = self._node_bound(g2, rad_max, len(g2))
                     if self.verbose:
                         print(f"Painting Profile: bucket {bi + 1}/"
                               f"{len(buckets)} ({len(idx)} halos, "
                               f"nside_c={nside_c}, K={K}, F={F}, "
-                              f"C={C_blk})")
+                              f"C={C_blk}, n_hi={n_hi})")
                     map_nested = cm.cellmajor_paint_pass(
-                        F, C_blk, K, vxn, vyn, vzn, dense, counts,
+                        F, C_blk, n_hi, vxn, vyn, vzn, dense, counts,
                         packed_all[jidx], grids[0], grids[1], table,
                         grids[2], float(self.epsilon_max), map_nested)
                     continue

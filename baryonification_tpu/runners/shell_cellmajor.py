@@ -79,26 +79,33 @@ def _blend_rows(packed_k, gz, gM, base_table):
 
     Wz, inb_z = axis_w(gz, ln1pz)
     WM, inb_M = axis_w(gM, lnM)
-    A = jnp.zeros((packed_k.shape[0], base_table.shape[2]),
-                  dtype=base_table.dtype)
+    # build TRANSPOSED (Nr, C): the hat-readout loop slices one node row
+    # per step, which is a cheap sublane slice in this layout (a lane
+    # slice of (C, Nr) is strided and relayouts every iteration)
+    C = packed_k.shape[0]
+    Nr = base_table.shape[2]
+    A_T = jnp.zeros((Nr, C), dtype=base_table.dtype)
+    WMT = WM.T
     for z in range(gz.shape[0]):
-        A = A + Wz[:, z:z + 1] * (WM @ base_table[z])
-    return A, (inb_z & inb_M)
+        A_T = A_T + base_table[z].T @ (WMT * Wz[:, z][None, :])
+    return A_T, (inb_z & inb_M)
 
 
-def _hat_readout(A, t, Nr):
-    """Exact piecewise-linear readout d[c, f] = lerp(A[c, :], t[c, f])
-    as an unrolled hat-basis reduction — no gathers, pure VPU."""
-    tc = jnp.clip(t, 0.0, float(Nr - 1))
+def _hat_readout(A_T, t, n_lo, n_hi):
+    """Exact piecewise-linear readout d[c, f] = lerp(A_T[:, c], t[c, f])
+    as an unrolled hat-basis reduction over nodes [n_lo, n_hi) — no
+    gathers, pure VPU. Out-of-range t must be masked by the caller (the
+    clip below only protects the reduction itself)."""
+    tc = jnp.clip(t, float(n_lo), float(n_hi - 1))
     d = jnp.zeros_like(t)
-    for n_node in range(Nr):
+    for n_node in range(n_lo, n_hi):
         w = jnp.maximum(0.0, 1.0 - jnp.abs(tc - n_node))
-        d = d + w * A[:, n_node][:, None]
+        d = d + w * A_T[n_node][:, None]
     return d
 
 
-@partial(jax.jit, static_argnames=("use_rdelta", "F", "C_blk"))
-def cellmajor_offsets_pass(use_rdelta, F, C_blk, K_pad_t,
+@partial(jax.jit, static_argnames=("use_rdelta", "F", "C_blk", "n_hi"))
+def cellmajor_offsets_pass(use_rdelta, F, C_blk, n_hi,
                            pix_x, pix_y, pix_z, hid_dense, counts,
                            packed, gz, gM, base_table, lnr_grid,
                            eps_max, ox, oy, oz):
@@ -108,8 +115,11 @@ def cellmajor_offsets_pass(use_rdelta, F, C_blk, K_pad_t,
     hid_dense : (ncell * K_pad,) dense candidate halo ids (int32)
     counts : (ncell,) candidates per cell
     packed : (H, 16) pack_halo_records output
-    K_pad_t : traced slot bound (<= the static K_pad used to build
-              hid_dense; the fori loop runs only to it)
+    n_hi : static node bound — nodes >= n_hi are unreachable for this
+           bucket (r <= eps_max * R_max), so the hat loop skips them
+    The slot loop bound is the chunk-local max count: NESTED chunks are
+    spatially contiguous sky patches, so a cluster inflates K only in
+    its own chunk instead of globally.
     Output: nested-order offset planes (accumulated onto ox/oy/oz).
     """
     npix = pix_x.shape[0]
@@ -123,6 +133,7 @@ def cellmajor_offsets_pass(use_rdelta, F, C_blk, K_pad_t,
     # sanitize once: a non-finite table node would poison the one-hot
     # matmuls (0 * inf = NaN) for every slot
     base_table = jnp.where(jnp.isfinite(base_table), base_table, 0.0)
+    k_max = jnp.max(counts.reshape(n_chunks, C_blk), axis=1)
 
     def one_chunk(c0):
         s_pix = c0 * (C_blk * F)
@@ -150,7 +161,7 @@ def cellmajor_offsets_pass(use_rdelta, F, C_blk, K_pad_t,
             hR = rec[:, 5][:, None]
             hlnR = rec[:, 6][:, None]
 
-            A, inb = _blend_rows(rec, gz, gM, base_table)    # (C, Nr)
+            A_T, inb = _blend_rows(rec, gz, gM, base_table)  # (Nr, C)
             live = ok & inb                                  # (C,)
 
             dx = (px - hvx) * hD
@@ -162,8 +173,9 @@ def cellmajor_offsets_pass(use_rdelta, F, C_blk, K_pad_t,
             rad = lnr - hlnR if use_rdelta else lnr
             t = (rad - g0) / dg
 
-            d = _hat_readout(A, t, Nr)
-            d = jnp.where((rad >= g0) & (rad <= lnr_grid[-1]), d, 0.0)
+            d = _hat_readout(A_T, t, 0, n_hi)
+            d = jnp.where((rad >= g0) & (rad <= lnr_grid[n_hi - 1]),
+                          d, 0.0)
             d = jnp.where(r_com < eps_max * hR, d, 0.0)
             cosang = px * hvx + py * hvy + pz * hvz
             ang_ok = cosang >= jnp.cos(eps_max * hR * ha / hD)
@@ -192,7 +204,7 @@ def cellmajor_offsets_pass(use_rdelta, F, C_blk, K_pad_t,
                     az + jnp.where(good, dzn, zero))
 
         z = jnp.zeros((C_blk, F), dtype=dt)
-        bx, by, bz = jax.lax.fori_loop(0, K_pad_t, k_body, (z, z, z))
+        bx, by, bz = jax.lax.fori_loop(0, k_max[c0], k_body, (z, z, z))
         return bx.reshape(-1), by.reshape(-1), bz.reshape(-1)
 
     bx, by, bz = jax.lax.map(one_chunk, jnp.arange(n_chunks))
@@ -200,8 +212,8 @@ def cellmajor_offsets_pass(use_rdelta, F, C_blk, K_pad_t,
             oz + bz.reshape(npix))
 
 
-@partial(jax.jit, static_argnames=("F", "C_blk"))
-def cellmajor_paint_pass(F, C_blk, K_pad_t,
+@partial(jax.jit, static_argnames=("F", "C_blk", "n_hi"))
+def cellmajor_paint_pass(F, C_blk, n_hi,
                          pix_x, pix_y, pix_z, hid_dense, counts,
                          packed, gz, gM, base_table, lnr_grid,
                          eps_max, new_map):
@@ -218,6 +230,7 @@ def cellmajor_paint_pass(F, C_blk, K_pad_t,
     # negative FINITE stand-in keeps the one-hot matmuls NaN-free and
     # still paints exp(...) = 0 wherever such a node is touched
     base_table = jnp.where(jnp.isfinite(base_table), base_table, -1e30)
+    k_max = jnp.max(counts.reshape(n_chunks, C_blk), axis=1)
 
     def one_chunk(c0):
         s_pix = c0 * (C_blk * F)
@@ -243,7 +256,7 @@ def cellmajor_paint_pass(F, C_blk, K_pad_t,
             ha = rec[:, 4][:, None]
             hR = rec[:, 5][:, None]
 
-            A, inb = _blend_rows(rec, gz, gM, base_table)
+            A_T, inb = _blend_rows(rec, gz, gM, base_table)
             live = ok & inb
 
             dx = (px - hvx) * hD
@@ -254,9 +267,9 @@ def cellmajor_paint_pass(F, C_blk, K_pad_t,
             lnr = jnp.log(r_com)
             t = (lnr - g0) / dg
 
-            lnp = _hat_readout(A, t, Nr)
+            lnp = _hat_readout(A_T, t, 0, n_hi)
             paint = jnp.exp(lnp)
-            paint = jnp.where((lnr >= g0) & (lnr <= lnr_grid[-1]),
+            paint = jnp.where((lnr >= g0) & (lnr <= lnr_grid[n_hi - 1]),
                               paint, 0.0)
             paint = jnp.where(r_com < eps_max * hR, paint, 0.0)
             cosang = px * hvx + py * hvy + pz * hvz
@@ -266,7 +279,7 @@ def cellmajor_paint_pass(F, C_blk, K_pad_t,
             return acc + paint
 
         z = jnp.zeros((C_blk, F), dtype=dt)
-        out = jax.lax.fori_loop(0, K_pad_t, k_body, z)
+        out = jax.lax.fori_loop(0, k_max[c0], k_body, z)
         return out.reshape(-1)
 
     out = jax.lax.map(one_chunk, jnp.arange(n_chunks))
