@@ -43,6 +43,16 @@ __all__ = ['DefaultRunner', 'BaryonifyShell', 'PaintProfilesShell',
            'PaintProfilesAnisShell']
 
 
+@jax.jit
+def _pack_from_angles(theta, phi, D, a, R_com, M):
+    """Fused build of the cell-major packed halo records."""
+    from .shell_cellmajor import pack_halo_records
+    st = jnp.sin(theta)
+    return pack_halo_records(st * jnp.cos(phi), st * jnp.sin(phi),
+                             jnp.cos(theta), D, a, R_com,
+                             jnp.log(R_com), jnp.log(1.0 / a), jnp.log(M))
+
+
 def _bucket_edges(radii, n_buckets):
     """Split halos into geometric angular-radius buckets (host-side).
 
@@ -235,6 +245,39 @@ class DefaultRunner:
                                jnp.asarray(r2n, dtype=jnp.int32))
         return self._nest_maps
 
+    def _ring_tables(self, nside, dt):
+        cache = getattr(self, '_rt_cache', None)
+        if cache is None:
+            cache = {}
+            self._rt_cache = cache
+        key = str(dt)
+        if key not in cache:
+            cache[key] = (hpx.RingTables(nside, dtype=dt),
+                          hpx.pixel_vectors_soa(nside, dtype=dt))
+        return cache[key]
+
+    def _packed_records(self, arrs, dt):
+        """(H, 16) packed halo records for the cell-major kernels,
+        cached per dtype (single fused jit: ~20 separate 1e6-element
+        dispatches otherwise cost seconds in per-call latency)."""
+        cache = getattr(self, '_packed_cache', None)
+        if cache is None:
+            cache = {}
+            self._packed_cache = cache
+        key = str(dt)
+        if key not in cache:
+            from . import shell_cellmajor as cm
+            theta = jnp.asarray(arrs['theta'], dtype=dt)
+            phi = jnp.asarray(arrs['phi'], dtype=dt)
+            D = jnp.asarray(arrs['D'], dtype=dt)
+            a = jnp.asarray(arrs['a'], dtype=dt)
+            Rc = jnp.asarray(arrs['R_com'], dtype=dt)
+            Mh = jnp.asarray(arrs['M'], dtype=dt)
+            packed = _pack_from_angles(theta, phi, D, a, Rc, Mh)
+            float(jnp.sum(packed[:, 0]))    # hard barrier
+            cache[key] = packed
+        return cache[key]
+
     def _pixels_nested(self, nside, dt):
         """Nested-order pixel unit-vector planes, cached per dtype."""
         cache = getattr(self, '_pixn_cache', None)
@@ -275,6 +318,17 @@ class DefaultRunner:
 
     # ----- shared halo preprocessing -----
     def _halo_arrays(self, cosmo):
+        """Catalog-derived per-halo arrays, cached on the runner (the
+        catalog and cosmology are fixed per runner; recomputing costs
+        ~10 s of f64 device work at the 1e6-halo scale)."""
+        cached = getattr(self, '_halo_arrays_cache', None)
+        if cached is not None:
+            return cached
+        out = self._halo_arrays_impl(cosmo)
+        self._halo_arrays_cache = out
+        return out
+
+    def _halo_arrays_impl(self, cosmo):
         cat = self.HaloLightConeCatalog.cat
         a = 1.0 / (1.0 + cat['z'])
         theta, phi = np.asarray(hpx.radec2ang(cat['ra'], cat['dec']))
@@ -496,8 +550,7 @@ class BaryonifyShell(DefaultRunner):
         dt = self.dtype
         table = model._table.astype(dt)
         grids = tuple(g.astype(dt) for g in model._grids)
-        tables = hpx.RingTables(nside, dtype=dt)
-        vx, vy, vz = hpx.pixel_vectors_soa(nside, dtype=dt)
+        tables, (vx, vy, vz) = self._ring_tables(nside, dt)
 
         # the f32 hot path (with its gridded Pallas scatters) must trace
         # with x64 disabled; see utils.x64_disabled
@@ -510,6 +563,7 @@ class BaryonifyShell(DefaultRunner):
             block = self._pixel_block(hpx.npix(nside))
             if self.method in ("gather", "cellmajor"):
                 from . import shell_gather as sg
+            if self.method == "gather":
                 th_all = jnp.asarray(arrs['theta'], dtype=dt)
                 ph_all = jnp.asarray(arrs['phi'], dtype=dt)
                 st_all = jnp.sin(th_all)
@@ -520,7 +574,6 @@ class BaryonifyShell(DefaultRunner):
                 a_all = jnp.asarray(arrs['a'], dtype=dt)
                 Rc_all = jnp.asarray(arrs['R_com'], dtype=dt)
                 lnRc_all = jnp.log(Rc_all)
-            if self.method == "gather":
                 # one all-halo device pass: blended profile rows, sliced
                 # per bucket below
                 prof_all = sg.blend_halo_profiles(
@@ -533,13 +586,9 @@ class BaryonifyShell(DefaultRunner):
                 float(jnp.sum(prof_all[:, 0]))
             if self.method == "cellmajor":
                 from . import shell_cellmajor as cm
-                packed_all = cm.pack_halo_records(
-                    v0x_all, v0y_all, v0z_all, D_all, a_all, Rc_all,
-                    lnRc_all, jnp.log(1.0 / a_all),
-                    jnp.log(jnp.asarray(arrs['M'], dtype=dt)))
+                packed_all = self._packed_records(arrs, dt)
                 vxn, vyn, vzn = self._pixels_nested(nside, dt)
                 off_nested = (zeros, zeros, zeros)
-                float(jnp.sum(packed_all[:, 0]))   # hard barrier
             for bi, idx in enumerate(buckets):
                 sub = {k: v[idx] for k, v in arrs.items()}
                 r_b = float(sub['radius'].max())
@@ -652,8 +701,7 @@ class PaintProfilesShell(DefaultRunner):
         dt = self.dtype
         table = model._ln2D.astype(dt)
         grids = tuple(g.astype(dt) for g in model._grids)
-        tables = hpx.RingTables(nside, dtype=dt)
-        vx, vy, vz = hpx.pixel_vectors_soa(nside, dtype=dt)
+        tables, (vx, vy, vz) = self._ring_tables(nside, dt)
 
         hot_ctx = (x64_disabled() if dt == jnp.dtype('float32')
                    else nullcontext())
@@ -663,6 +711,7 @@ class PaintProfilesShell(DefaultRunner):
             block = self._pixel_block(hpx.npix(nside))
             if self.method in ("gather", "cellmajor"):
                 from . import shell_gather as sg
+            if self.method == "gather":
                 th_all = jnp.asarray(arrs['theta'], dtype=dt)
                 ph_all = jnp.asarray(arrs['phi'], dtype=dt)
                 st_all = jnp.sin(th_all)
@@ -672,20 +721,15 @@ class PaintProfilesShell(DefaultRunner):
                 D_all = jnp.asarray(arrs['D'], dtype=dt)
                 a_all = jnp.asarray(arrs['a'], dtype=dt)
                 Rc_all = jnp.asarray(arrs['R_com'], dtype=dt)
-            if self.method == "gather":
                 prof_all = sg.blend_halo_profiles(
                     grids, table,
                     self._scalar_coords(arrs, dt, len(p_keys)))
                 float(jnp.sum(prof_all[:, 0]))   # hard barrier (see above)
             if self.method == "cellmajor":
                 from . import shell_cellmajor as cm
-                packed_all = cm.pack_halo_records(
-                    v0x_all, v0y_all, v0z_all, D_all, a_all, Rc_all,
-                    jnp.log(Rc_all), jnp.log(1.0 / a_all),
-                    jnp.log(jnp.asarray(arrs['M'], dtype=dt)))
+                packed_all = self._packed_records(arrs, dt)
                 vxn, vyn, vzn = self._pixels_nested(nside, dt)
                 map_nested = jnp.zeros((hpx.npix(nside),), dtype=dt)
-                float(jnp.sum(packed_all[:, 0]))   # hard barrier
             for bi, idx in enumerate(buckets):
                 sub = {k: v[idx] for k, v in arrs.items()}
                 r_b = float(sub['radius'].max())
