@@ -349,6 +349,43 @@ def get_interp_weights_parts_tab(tables, theta, phi):
              wt * (1 - f2), wt * f2))
 
 
+def get_interp_weights_parts(nside, theta, phi):
+    """Closed-form 4-neighbor bilinear weights as component tuples —
+    no ring-table gathers (a searchsorted + per-pixel table gather costs
+    ~10 ns/row on TPU; the closed forms are pure arithmetic). Matches
+    get_interp_weights_parts_tab."""
+    n = nside
+    z = jnp.cos(theta)
+    r1 = z_to_ring(n, z).astype(jnp.int32)
+    r2 = r1 + 1
+    at_npole = r1 < 1
+    at_spole = r2 > 4 * n - 1
+    r1c = jnp.clip(r1, 1, 4 * n - 1)
+    r2c = jnp.clip(r2, 1, 4 * n - 1)
+
+    def ring_neighbors(ring):
+        zr, start, npr, shift = ring_info(n, ring)
+        dphi = 2.0 * jnp.pi / npr.astype(theta.dtype)
+        t = phi / dphi - shift
+        j1 = jnp.floor(t).astype(jnp.int64)
+        frac = (t - j1).astype(theta.dtype)
+        p1 = start + jnp.mod(j1, npr)
+        p2 = start + jnp.mod(j1 + 1, npr)
+        th_r = jnp.arccos(jnp.clip(zr, -1.0, 1.0)).astype(theta.dtype)
+        return p1, p2, frac, th_r
+
+    p11, p12, f1, th1 = ring_neighbors(r1c)
+    p21, p22, f2, th2 = ring_neighbors(r2c)
+
+    denom = jnp.where(th2 > th1, th2 - th1, 1.0)
+    wt = jnp.clip((theta - th1) / denom, 0.0, 1.0)
+    wt = jnp.where(at_npole, 0.0, jnp.where(at_spole, 1.0, wt))
+
+    return ((p11, p12, p21, p22),
+            ((1 - wt) * (1 - f1), (1 - wt) * f1,
+             wt * (1 - f2), wt * f2))
+
+
 def get_interp_weights_tab(tables, theta, phi):
     """Table-based 4-neighbor bilinear weights (get_interp_weights
     fast path; identical semantics). Stacked (..., 4) output — use

@@ -187,3 +187,20 @@ class TestDiscWindowMask:
             got1 = set(np.asarray(p1[h])[np.asarray(v1[h])].tolist())
             got2 = set(np.asarray(p2[h])[np.asarray(v2[h])].tolist())
             assert got1 == got2, (h, got1 ^ got2)
+
+
+class TestInterpWeightsClosed:
+    def test_matches_table_version(self):
+        nside = 32
+        rng = np.random.default_rng(5)
+        theta = np.arccos(rng.uniform(-1, 1, 500))
+        phi = rng.uniform(0, 2 * np.pi, 500)
+        tables = hpx.RingTables(nside, dtype=jnp.float64)
+        pix_t, w_t = hpx.get_interp_weights_tab(tables, jnp.asarray(theta),
+                                                jnp.asarray(phi))
+        ps, ws = hpx.get_interp_weights_parts(nside, jnp.asarray(theta),
+                                              jnp.asarray(phi))
+        pix_c = np.stack([np.asarray(p) for p in ps], axis=-1)
+        w_c = np.stack([np.asarray(w) for w in ws], axis=-1)
+        np.testing.assert_array_equal(pix_c, np.asarray(pix_t))
+        np.testing.assert_allclose(w_c, np.asarray(w_t), atol=1e-12)
