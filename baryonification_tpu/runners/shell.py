@@ -316,11 +316,23 @@ class DefaultRunner:
         sc_cols += [arrs['props'][:, i] for i in range(n_props)]
         return jnp.asarray(np.stack(sc_cols, axis=-1), dtype=dt)
 
+    def _check_catalog_caches(self):
+        """Invalidate catalog-derived caches if the catalog object was
+        swapped (SplitJoinParallel shallow-copies the runner and replaces
+        the catalog per shard)."""
+        if getattr(self, '_cache_cat', None) is not self.HaloLightConeCatalog:
+            for attr in ('_halo_arrays_cache', '_packed_cache',
+                         '_reg_cache', '_dense_cache'):
+                if hasattr(self, attr):
+                    delattr(self, attr)
+            self._cache_cat = self.HaloLightConeCatalog
+
     # ----- shared halo preprocessing -----
     def _halo_arrays(self, cosmo):
         """Catalog-derived per-halo arrays, cached on the runner (the
         catalog and cosmology are fixed per runner; recomputing costs
         ~10 s of f64 device work at the 1e6-halo scale)."""
+        self._check_catalog_caches()
         cached = getattr(self, '_halo_arrays_cache', None)
         if cached is not None:
             return cached
