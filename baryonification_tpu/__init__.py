@@ -19,9 +19,24 @@ package enables `jax_enable_x64`. The per-pixel hot paths
 with conservation-safe reductions.
 """
 
+import os as _os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the hot kernels are compiled per window /
+# chunk shape and recompiling costs minutes through remote-compile TPU
+# tunnels. Env vars are ineffective when the platform plugin imports JAX
+# before user code runs, so set the config directly (respecting an
+# explicit user setting).
+if jax.config.jax_compilation_cache_dir is None:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                        _os.path.expanduser("~/.cache/jax")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 from . import constants
 from . import ops
