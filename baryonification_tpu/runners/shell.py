@@ -217,7 +217,10 @@ class DefaultRunner:
             hids, cell_start, K = self._bucket_registration(
                 bi, nside_c, sub, dt, r_b,
                 cell_map=self._cell_map_nested(nside_c))
-            K_pad = max(8, -(-K // 8) * 8)
+            # generous rounding: K_pad only sets the dense-matrix SHAPE
+            # (the slot loop runs to the chunk-local max count), so a
+            # coarse ladder buys compile sharing across buckets for free
+            K_pad = max(64, -(-K // 64) * 64)
             dense, counts = cm.dense_cell_candidates(
                 hpx.npix(nside_c), K_pad, hids, cell_start)
             cache[key] = (dense, counts, K)
@@ -297,7 +300,7 @@ class DefaultRunner:
         largest reachable lnr (eps_max * R cutoff) contribute nothing;
         quantized up so compiles are shared."""
         n_hi = int(np.floor((rad_max - g2[0]) / (g2[1] - g2[0]))) + 2
-        return min(Nr, max(16, -(-n_hi // 16) * 16))
+        return min(Nr, max(32, -(-n_hi // 32) * 32))
 
     @staticmethod
     def _cell_chunk(nside_c, F, target=1 << 18):
