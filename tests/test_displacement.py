@@ -181,3 +181,24 @@ class TestBaryonification2D:
         assert np.all(np.isfinite(d))
         assert np.any(d != 0)
         assert np.all(np.abs(d) < r)
+
+        # checkpoint contract (reference keeps models picklable via
+        # destory_Pk, `utils/misc.py:130-157`; here tables are plain
+        # arrays so round-tripping is exact)
+        import pickle
+        m2 = pickle.loads(pickle.dumps(model))
+        np.testing.assert_allclose(np.asarray(m2.displacement(r, 1e14,
+                                                              0.8)),
+                                   d, rtol=1e-12)
+
+        # save/load table round trip (npz checkpoint)
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "tab.npz")
+            model.save_table(path)
+            m3 = Baryonification2D(DarkMatterOnly(**PAR),
+                                   DarkMatterBaryon(**PAR), cosmo,
+                                   epsilon_max=20)
+            m3.load_table(path)
+            np.testing.assert_allclose(
+                np.asarray(m3.displacement(r, 1e14, 0.8)), d, rtol=1e-12)
