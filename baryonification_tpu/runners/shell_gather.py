@@ -87,17 +87,22 @@ def coarse_halo_index(nside_c, theta, phi, radius, dtype=jnp.float32,
     """Register halos in every coarse cell their disc may touch.
 
     Returns (halo_ids_sorted, cell_start) over the nc = 12 nside_c^2
-    cells, plus K = max halos per cell. Registration uses the halo radius
-    plus 1.5 cell resolutions of margin, so a fine pixel's own cell always
-    lists every halo that can reach it. Pass ``r_max`` (host float, max of
-    ``radius``) to avoid a device sync when sizing the search window.
+    cells, plus K = max halos per cell. Registration adds a margin of
+    1.15 cell resolutions to the halo radius, so a fine pixel's own cell
+    always lists every halo that can reach it: the maximum distance from
+    a HEALPix cell center to any point of the cell is ~1.006 x the mean
+    resolution (measured numerically over nside 1..128 with 128x boundary
+    sampling), and every evaluated fine-pixel center lies inside its
+    cell. Pass ``r_max`` (host float, max of ``radius``) to avoid a
+    device sync when sizing the search window.
     """
+    MARGIN = 1.15
     resol_c = hpx.nside2resol(nside_c)
-    radius_reg = radius + 1.5 * resol_c
+    radius_reg = radius + MARGIN * resol_c
 
     if r_max is None:
         r_max = float(jnp.max(radius))
-    r_max = r_max + 1.5 * resol_c
+    r_max = r_max + MARGIN * resol_c
     n_rings = int(np.ceil(2 * r_max / (np.pi / (4 * nside_c)))) + 4
     n_phi = int(np.ceil(2.5 * r_max * 4 * nside_c / np.pi)) + 8
     # quantize window dims + halo count so compiles are shared across
