@@ -166,6 +166,32 @@ class TestGatherScatterParity:
         np.testing.assert_allclose(p_cm, p_sc, rtol=1e-6,
                                    atol=1e-9 * p_sc.max())
 
+    def test_baryonify_rdelta_cellmajor_agrees(self, shell_setup, cosmo):
+        """Rdelta_sampling (Arico-style r/R_Delta radial axis,
+        `BaryonCorrection.py:286-306`) through the cell-major and
+        scatter paths."""
+        from baryonification_tpu.displacement import Baryonification2D
+        from baryonification_tpu.profiles import (DarkMatterOnly,
+                                                  DarkMatterBaryon)
+        cat, shell = shell_setup
+        model = Baryonification2D(DarkMatterOnly(**PAR),
+                                  DarkMatterBaryon(**PAR), cosmo,
+                                  epsilon_max=20)
+        model.setup_interpolator(z_min=0.1, z_max=0.6, N_samples_z=2,
+                                 M_min=1e13, M_max=1e15, N_samples_Mass=4,
+                                 R_min=1e-2, R_max=30, N_samples_R=48,
+                                 Rdelta_sampling=True)
+        assert model.Rdelta_sampling
+        m_sc = BaryonifyShell(cat, shell, epsilon_max=20, model=model,
+                              method="scatter", verbose=False).process()
+        m_cm = BaryonifyShell(cat, shell, epsilon_max=20, model=model,
+                              method="cellmajor", verbose=False).process()
+        assert np.isclose(m_cm.sum(), shell.map.sum(), rtol=1e-8)
+        scale = np.abs(m_sc - shell.map).max()
+        assert scale > 0
+        np.testing.assert_allclose(m_cm, m_sc, atol=1e-6 * scale,
+                                   rtol=1e-6)
+
     def test_paint_methods_agree(self, shell_setup, cosmo):
         from baryonification_tpu.profiles import Gas
         from baryonification_tpu.tabulate import TabulatedProfile
