@@ -18,9 +18,7 @@ import jax.numpy as jnp
 from jax.scipy.special import erf
 
 from .. import constants as const
-from ..cosmology.concentration import (ConcentrationConstant,
-                                       ConcentrationDiemer15)
-from .base import HaloProfile
+from ..cosmology.concentration import ConcentrationDiemer15
 from . import schneider19 as S19
 from .schneider19 import sigmoid_cutoff
 from .thermodynamic import G, kb_cgs, m_p_Msun

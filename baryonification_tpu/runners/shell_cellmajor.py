@@ -29,8 +29,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops import healpix as hpx
-
 __all__ = ["pack_halo_records", "dense_cell_candidates",
            "cellmajor_offsets_pass", "cellmajor_paint_pass"]
 
