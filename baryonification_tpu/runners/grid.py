@@ -425,9 +425,8 @@ class PaintProfilesAnisGrid(DefaultRunnerGrid):
         cosmo = Cosmology.from_dict(self.cosmo)
         gm = self.GriddedMap
         Paint, Canvas = self.model, self.Canvas_model
-        assert Paint.p_keys is Canvas.p_keys or \
-            list(getattr(Paint, 'p_keys', [])) == list(getattr(Canvas,
-                                                               'p_keys', []))
+        assert (list(getattr(Paint, 'p_keys', []) or [])
+                == list(getattr(Canvas, 'p_keys', []) or []))
 
         a, arrs = self._halo_arrays(cosmo, comoving_R=True)
         R_com = arrs['R']

@@ -353,6 +353,39 @@ class TestPaintGrid:
         assert painted[i, j] > np.median(painted)
 
 
+class TestPaintAnisGrid:
+    def test_identity_remap(self, grid_setup_2d, cosmo):
+        """With Paint == Canvas the density-dependent painter
+        (`Map2DRunner.py:912-927`) reproduces the existing map values
+        inside the halo cutouts (the Canvas->Paint mapping is the
+        identity), and leaves untouched pixels at 0."""
+        from baryonification_tpu.runners import PaintProfilesAnisGrid
+        cat, gm = grid_setup_2d
+        gas = TabulatedProfile(Gas(**PAR), cosmo)
+        gas.setup_interpolator(z_min=0.05, z_max=0.6, N_samples_z=4,
+                               M_min=1e13, M_max=1e15, N_samples_Mass=6,
+                               R_min=1e-3, R_max=70, N_samples_R=48)
+        # map values must live inside the Canvas's value range for the
+        # monotone Canvas -> Paint remap to engage
+        rng = np.random.default_rng(3)
+        gm = GriddedMap(map=10 ** rng.uniform(12.5, 13.5, gm.map.shape),
+                        redshift=0.25, bins=gm.bins, cosmo=COSMO_DICT)
+        runner = PaintProfilesAnisGrid(cat, gm, epsilon_max=3,
+                                       Painting_model=gas,
+                                       Canvas_model=gas, verbose=False)
+        painted = runner.process()
+        assert painted.shape == gm.map.shape
+        touched = painted != 0
+        assert touched.sum() > 0
+        orig = np.asarray(gm.map)
+        # identity mapping: painted values equal map values where a
+        # single halo cutout covers the pixel (overlaps add)
+        ratio = painted[touched] / orig[touched]
+        k = np.round(ratio).astype(int)
+        assert np.all(k >= 1)
+        np.testing.assert_allclose(ratio, k, rtol=1e-6)
+
+
 class TestBaryonifySnapshot:
     def test_displacements(self, displ3d):
         rng = np.random.default_rng(14)
