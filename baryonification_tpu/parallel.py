@@ -25,6 +25,7 @@ import copy
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ['SimpleParallel', 'SplitJoinParallel', 'mesh_shard_halos']
@@ -105,3 +106,72 @@ def mesh_shard_halos(mesh, axis, halo_arrays):
     return jax.tree.map(
         lambda x: jax.device_put(x, sharding) if np.ndim(x) >= 1 else x,
         halo_arrays)
+
+
+def mesh_cellmajor_shell(mesh, axis, nside, F, C_blk, n_hi, use_rdelta,
+                         pix_planes, hid_dense, counts, packed,
+                         gz, gM, table, lnr_grid, eps_max, orig_map):
+    """Multi-chip shell baryonify: ONE bucket's cell-major displacement
+    pass + conservative regrid, sharded over coarse CELLS.
+
+    NESTED-ordered cells are disjoint sky patches, so the displacement
+    pass is embarrassingly parallel: device d owns a contiguous cell
+    range (its slice of the pixel planes, dense candidate matrix and
+    counts), the per-halo ``packed`` records and the base table are
+    replicated, and the per-pixel offsets come out sharded with NO
+    communication. The regrid is the only cross-device step: each device
+    redeposits its own pixels' mass (a 4-neighbor scatter that may cross
+    the shard boundary) into a local full-sky partial map, and a single
+    ``psum`` over the mesh joins them — the additive-join contract of
+    the reference's SplitJoinParallel (`Parallelize.py:297-319`) riding
+    ICI instead of pickled process results.
+
+    pix_planes : (vx, vy, vz) nested-order (npix,) planes
+    orig_map : (npix,) mass map in NESTED order (sharded by cell)
+    Returns the new mass map (npix,) in RING order, fully replicated
+    (the 4-neighbor redeposit targets are RING ids).
+    """
+    from .runners.shell_cellmajor import cellmajor_offsets_pass
+    from .ops import healpix as hpx
+
+    vx, vy, vz = pix_planes
+    npix = vx.shape[0]
+    n_dev = mesh.shape[axis]
+    ncell = counts.shape[0]
+    assert ncell % (n_dev * C_blk) == 0, (
+        f"cells ({ncell}) must split evenly over {n_dev} devices in "
+        f"chunks of {C_blk}")
+    dt = orig_map.dtype
+    rep = P()
+
+    def step(vx_s, vy_s, vz_s, dense_s, counts_s, orig_s,
+             packed_r, gz_r, gM_r, table_r, lnr_r):
+        zero = jnp.zeros((counts_s.shape[0] * F,), dtype=dt)
+        ox, oy, oz = cellmajor_offsets_pass(
+            use_rdelta, F, C_blk, n_hi, vx_s, vy_s, vz_s,
+            dense_s.reshape(-1), counts_s, packed_r, gz_r, gM_r,
+            table_r, lnr_r, eps_max, zero, zero, zero)
+        # local regrid of this shard's pixels into a full-sky partial
+        x = vx_s + ox
+        y = vy_s + oy
+        z = vz_s + oz
+        r = jnp.sqrt(x * x + y * y + z * z)
+        theta = jnp.arccos(jnp.clip(z / r, -1.0, 1.0))
+        phi = jnp.arctan2(y, x)
+        phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+        ps, ws = hpx.get_interp_weights_parts(nside, theta, phi)
+        # neighbor pixel ids are RING; convert the local nested mass to
+        # ring targets via a full-size partial map
+        idx = jnp.concatenate([p.astype(jnp.int32) for p in ps])
+        contrib = jnp.concatenate([w.astype(dt) * orig_s for w in ws])
+        partial = jnp.zeros((npix,), dtype=dt).at[idx].add(contrib)
+        return jax.lax.psum(partial, axis)
+
+    K_pad = hid_dense.shape[0] // ncell
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  rep, rep, rep, rep, rep),
+        out_specs=rep)
+    return sharded(vx, vy, vz, hid_dense.reshape(ncell, K_pad), counts,
+                   orig_map, packed, gz, gM, table, lnr_grid)

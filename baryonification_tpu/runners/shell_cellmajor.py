@@ -201,7 +201,9 @@ def cellmajor_offsets_pass(use_rdelta, F, C_blk, n_hi,
                     ay + jnp.where(good, dyn, zero),
                     az + jnp.where(good, dzn, zero))
 
-        z = jnp.zeros((C_blk, F), dtype=dt)
+        # derive the carry from the (possibly device-varying) pixel data
+        # so the loop-carry varying-axis types match under shard_map
+        z = px * jnp.zeros((), dtype=dt)
         bx, by, bz = jax.lax.fori_loop(0, k_max[c0], k_body, (z, z, z))
         return bx.reshape(-1), by.reshape(-1), bz.reshape(-1)
 
@@ -276,7 +278,7 @@ def cellmajor_paint_pass(F, C_blk, n_hi,
                               & jnp.isfinite(paint), paint, 0.0)
             return acc + paint
 
-        z = jnp.zeros((C_blk, F), dtype=dt)
+        z = px * jnp.zeros((), dtype=dt)
         out = jax.lax.fori_loop(0, k_max[c0], k_body, z)
         return out.reshape(-1)
 
