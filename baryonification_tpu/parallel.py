@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ['SimpleParallel', 'SplitJoinParallel', 'mesh_shard_halos']
+__all__ = ['SimpleParallel', 'SplitJoinParallel', 'mesh_shard_halos',
+           'mesh_cellmajor_shell']
 
 
 class SimpleParallel:
