@@ -74,6 +74,24 @@ def _bucket_edges(radii, n_buckets):
     return out
 
 
+def _buckets_by_nsidec(radii, nside):
+    """Group halos by their coarse-cell level (the cell-major pass's
+    natural granularity): one dense pass per distinct nside_c instead of
+    one per radius bucket. Merging radius buckets that share a level is
+    a strict win — the per-cell candidate bound of the union is at most
+    (and typically well below) the sum of the separate bounds, and each
+    merged level saves one full-sky sweep."""
+    radii = np.asarray(radii)
+    t = np.sqrt(np.pi / 3.0) / np.maximum(radii, 1e-4)
+    n_c = np.clip(2.0 ** np.round(np.log2(t)), 1, nside).astype(np.int64)
+    out = []
+    for val in np.unique(n_c)[::-1]:          # fine -> coarse
+        idx = np.where(n_c == val)[0]
+        if idx.size:
+            out.append((int(val), idx))
+    return out
+
+
 def _chunk_for(n_rings, n_phi, halo_chunk, budget=4_000_000):
     """Halo-chunk size bounded by a per-chunk gathered-pixel budget."""
     per_halo = n_rings * n_phi + 4
@@ -604,12 +622,15 @@ class BaryonifyShell(DefaultRunner):
                 packed_all = self._packed_records(arrs, dt)
                 vxn, vyn, vzn = self._pixels_nested(nside, dt)
                 off_nested = (zeros, zeros, zeros)
-            for bi, idx in enumerate(buckets):
+            groups = (_buckets_by_nsidec(arrs['radius'], nside)
+                      if self.method == "cellmajor"
+                      else [(None, i) for i in buckets])
+            for bi, (nsc, idx) in enumerate(groups):
                 sub = {k: v[idx] for k, v in arrs.items()}
                 r_b = float(sub['radius'].max())
                 if self.method == "cellmajor":
                     jidx = jnp.asarray(idx, dtype=jnp.int32)
-                    nside_c = sg.pick_coarse_nside(r_b, nside)
+                    nside_c = nsc
                     dense, counts, K = self._dense_candidates(
                         bi, nside_c, sub, dt, r_b)
                     F = (nside // nside_c) ** 2
@@ -745,12 +766,15 @@ class PaintProfilesShell(DefaultRunner):
                 packed_all = self._packed_records(arrs, dt)
                 vxn, vyn, vzn = self._pixels_nested(nside, dt)
                 map_nested = jnp.zeros((hpx.npix(nside),), dtype=dt)
-            for bi, idx in enumerate(buckets):
+            groups = (_buckets_by_nsidec(arrs['radius'], nside)
+                      if self.method == "cellmajor"
+                      else [(None, i) for i in buckets])
+            for bi, (nsc, idx) in enumerate(groups):
                 sub = {k: v[idx] for k, v in arrs.items()}
                 r_b = float(sub['radius'].max())
                 if self.method == "cellmajor":
                     jidx = jnp.asarray(idx, dtype=jnp.int32)
-                    nside_c = sg.pick_coarse_nside(r_b, nside)
+                    nside_c = nsc
                     dense, counts, K = self._dense_candidates(
                         bi, nside_c, sub, dt, r_b)
                     F = (nside // nside_c) ** 2
