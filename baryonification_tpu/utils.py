@@ -12,7 +12,7 @@ from contextlib import contextmanager
 from functools import wraps
 
 __all__ = ['build_cosmodict', 'log_time', 'host_cpu_device', 'x64_disabled',
-           'generate_operator_method', 'destory_Pk']
+           'generate_operator_method', 'destory_Pk', 'trace']
 
 
 @contextmanager
@@ -97,3 +97,16 @@ def destory_Pk(cosmo):
     worker processes; this framework's :class:`Cosmology` is a frozen
     dataclass of plain arrays and pickles as-is."""
     return cosmo
+
+
+from contextlib import contextmanager as _contextmanager
+
+
+@_contextmanager
+def trace(log_dir):
+    """Profiler context: wraps ``jax.profiler.trace`` so runner calls can
+    be inspected in TensorBoard/XProf (the TPU-native upgrade of the
+    reference's `utils/debug.py:6-74` line-timing decorator)."""
+    import jax
+    with jax.profiler.trace(str(log_dir)):
+        yield
