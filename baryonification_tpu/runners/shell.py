@@ -692,13 +692,18 @@ class BaryonifyShell(DefaultRunner):
                         jnp.asarray(sub['props'][s], dtype=dt), offsets)
 
             if self.method == "cellmajor":
-                # nested-order offsets -> ring order for the regrid
-                _, r2n = self._nested_maps(nside)
-                offsets = tuple(o[r2n] for o in off_nested)
-
-            new_map = _regrid_shell(nside, tables, vx, vy, vz,
-                                    jnp.asarray(orig_map, dtype=dt),
-                                    offsets)
+                # the regrid is order-agnostic given consistent (vec,
+                # offset, mass) triples — run it directly in NESTED order
+                # (one mass gather instead of three offset gathers); the
+                # scatter targets are RING ids either way
+                n2r, _ = self._nested_maps(nside)
+                omap_n = jnp.asarray(orig_map, dtype=dt)[n2r]
+                new_map = _regrid_shell(nside, tables, vxn, vyn, vzn,
+                                        omap_n, off_nested)
+            else:
+                new_map = _regrid_shell(nside, tables, vx, vy, vz,
+                                        jnp.asarray(orig_map, dtype=dt),
+                                        offsets)
         new_map = np.asarray(new_map, dtype=np.float64)
 
         new_sum, old_sum = new_map.sum(), orig_map.sum()

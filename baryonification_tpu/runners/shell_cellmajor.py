@@ -66,12 +66,20 @@ def _blend_rows(packed_k, gz, gM, base_table):
     lnM = packed_k[:, 8]
 
     def axis_w(g, c):
-        i = jnp.clip(jnp.searchsorted(g, c, side="right") - 1, 0,
+        # gather-free: searchsorted and g[i] lower to per-lane gathers on
+        # TPU (~10 ns each); a broadcast compare + one-hot dot against the
+        # tiny grid is pure vector work
+        ge = (c[:, None] >= g[None, :])
+        i = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=1) - 1, 0,
                      g.shape[0] - 2)
-        t = (c - g[i]) / (g[i + 1] - g[i])
         n = jnp.arange(g.shape[0], dtype=jnp.int32)
-        W = (jnp.where(n[None, :] == i[:, None], (1.0 - t)[:, None], 0.0)
-             + jnp.where(n[None, :] == i[:, None] + 1, t[:, None], 0.0))
+        eq0 = (n[None, :] == i[:, None])
+        eq1 = (n[None, :] == i[:, None] + 1)
+        g_i = jnp.sum(jnp.where(eq0, g[None, :], 0.0), axis=1)
+        g_i1 = jnp.sum(jnp.where(eq1, g[None, :], 0.0), axis=1)
+        t = (c - g_i) / (g_i1 - g_i)
+        W = (jnp.where(eq0, (1.0 - t)[:, None], 0.0)
+             + jnp.where(eq1, t[:, None], 0.0))
         inb = (c >= g[0]) & (c <= g[-1])
         return W.astype(g.dtype), inb
 
