@@ -183,7 +183,7 @@ class GriddedMap:
     def grid(self):
         """Full coordinate meshgrid (lazy; reference `io.py:456-463`)."""
         n = self.map.ndim
-        return np.meshgrid(*([self.bins] * n), indexing='ij')
+        return np.meshgrid(*([self.bins] * n), indexing='xy')
 
     @property
     def inds(self):
