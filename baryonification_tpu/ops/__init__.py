@@ -1,5 +1,5 @@
-from . import fftlog, integrate, interp, healpix, scatter, spectra
+from . import fftlog, interp, healpix, scatter, spectra
 from . import scatter_pallas
 
-__all__ = ["fftlog", "integrate", "interp", "healpix", "scatter",
+__all__ = ["fftlog", "interp", "healpix", "scatter",
            "scatter_pallas", "spectra"]

@@ -40,6 +40,12 @@ class TabulatedProfile(HaloProfile):
                            M_min=1e12, M_max=1e16, N_samples_Mass=30,
                            R_min=1e-3, R_max=1e2, N_samples_R=100,
                            other_params={}, verbose=True):
+        if other_params:
+            raise ValueError(
+                "TabulatedProfile has no extra parameter axes; use "
+                "ParamTabulatedProfile for other_params="
+                f"{sorted(other_params)}. (The reference silently ignores "
+                "this argument, `Tabulate.py:163`; we reject it instead.)")
         M_range = np.geomspace(M_min, M_max, N_samples_Mass)
         r = np.geomspace(R_min, R_max, N_samples_R)
         z_range = (np.linspace(z_min, z_max, N_samples_z)

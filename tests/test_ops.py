@@ -1,4 +1,4 @@
-"""Unit tests for the numerical primitives (fftlog, interp, integrate)."""
+"""Unit tests for the numerical primitives (fftlog, interp, scatter)."""
 
 import numpy as np
 import pytest
@@ -10,7 +10,8 @@ from baryonification_tpu.ops.fftlog import fftlog_transform, loggamma
 from baryonification_tpu.ops.interp import (pchip_derivatives, pchip_eval,
                                             pchip_interp, masked_compact,
                                             ndlinear_interp)
-from baryonification_tpu.ops.integrate import cumtrapz, cumsum_loggrid
+from baryonification_tpu.ops.scatter_pallas import (scatter_add_accum,
+                                                    sorted_scatter_add_pallas)
 
 
 class TestLogGamma:
@@ -167,16 +168,107 @@ class TestNdLinear:
         np.testing.assert_allclose(got, [0.5 * (0.25 + 0.36)], atol=1e-12)
 
 
-class TestIntegrate:
-    def test_cumtrapz(self):
-        x = np.linspace(0, np.pi, 1000)
-        y = np.sin(x)
-        got = np.asarray(cumtrapz(jnp.asarray(y), jnp.asarray(x)))
-        want = 1.0 - np.cos(x)
-        np.testing.assert_allclose(got, want, atol=2e-6)
+def _scatter_reference(npix, idx, val_channels):
+    """Ground truth: XLA scatter-add with out-of-range rows dropped."""
+    ok = idx < npix
+    safe = np.where(ok, idx, 0)
+    return tuple(
+        np.asarray(jnp.zeros(npix, jnp.float32)
+                   .at[safe].add(jnp.where(ok, v, 0.0)))
+        for v in val_channels)
 
-    def test_cumsum_loggrid(self):
-        """Left-Riemann log-grid cumulative integral ~ r^3/3 for y=r^2."""
-        r = np.geomspace(1e-4, 10, 50000)
-        got = np.asarray(cumsum_loggrid(jnp.asarray(r**2), jnp.asarray(r)))
-        np.testing.assert_allclose(got[-1], r[-1] ** 3 / 3.0, rtol=1e-3)
+
+class TestPallasScatter:
+    """Interpret-mode coverage of the TPU sorted-scatter kernel — the
+    framework's hottest primitive (ADVICE r1: the CPU suite otherwise only
+    ever exercises the .at[].add fallback, and the TPU bench asserts total
+    mass only, which per-pixel block/tile misrouting would still pass)."""
+
+    def _run(self, npix, n_rows, n_chan, seed, oor_frac=0.1,
+             block_rows=256, tile_rows=128, dupes=True):
+        rng = np.random.default_rng(seed)
+        hi = npix + max(1, int(npix * 0.5)) if oor_frac > 0 else npix
+        idx = rng.integers(0, hi, n_rows)
+        if not dupes:
+            idx = np.unique(idx)[:n_rows]
+        idx = np.sort(idx).astype(np.int32)
+        vals = tuple(rng.normal(size=idx.size).astype(np.float32)
+                     for _ in range(n_chan))
+        accs = tuple(jnp.zeros(npix, jnp.float32) for _ in range(n_chan))
+        got = sorted_scatter_add_pallas(
+            accs, jnp.asarray(idx), tuple(jnp.asarray(v) for v in vals),
+            block_rows=block_rows, tile_rows=tile_rows, interpret=True)
+        want = _scatter_reference(npix, idx, vals)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), w, rtol=1e-6,
+                                       atol=1e-6)
+
+    def test_single_channel_with_oor_sentinels(self):
+        """Random sorted indices incl. out-of-range padding sentinels."""
+        self._run(npix=300, n_rows=1000, n_chan=1, seed=0)
+
+    def test_multi_channel(self):
+        """Three value planes (the SoA offset channels) routed per-pixel."""
+        self._run(npix=513, n_rows=2048, n_chan=3, seed=1)
+
+    def test_heavy_duplicates_accumulate(self):
+        """Many rows landing on few pixels must sum, not overwrite."""
+        rng = np.random.default_rng(2)
+        npix = 140
+        idx = np.sort(rng.integers(0, 8, 4000)).astype(np.int32)
+        vals = (rng.normal(size=idx.size).astype(np.float32),)
+        accs = (jnp.zeros(npix, jnp.float32),)
+        got = sorted_scatter_add_pallas(
+            accs, jnp.asarray(idx), (jnp.asarray(vals[0]),),
+            block_rows=128, tile_rows=128, interpret=True)
+        want = _scatter_reference(npix, idx, vals)
+        np.testing.assert_allclose(np.asarray(got[0]), want[0], rtol=1e-5,
+                                   atol=1e-5)
+
+    def test_nonzero_accumulator_aliasing(self):
+        """Input accumulators already hold values; output adds in place."""
+        rng = np.random.default_rng(3)
+        npix = 260
+        base = rng.normal(size=npix).astype(np.float32)
+        idx = np.sort(rng.integers(0, npix, 700)).astype(np.int32)
+        vals = rng.normal(size=idx.size).astype(np.float32)
+        got = sorted_scatter_add_pallas(
+            (jnp.asarray(base),), jnp.asarray(idx), (jnp.asarray(vals),),
+            block_rows=128, tile_rows=128, interpret=True)
+        want = base + _scatter_reference(npix, idx, (vals,))[0]
+        np.testing.assert_allclose(np.asarray(got[0]), want, rtol=1e-5,
+                                   atol=1e-5)
+
+    def test_all_rows_out_of_range(self):
+        """Pure-padding batch leaves the accumulator untouched."""
+        npix = 130
+        idx = np.full(512, npix + 7, np.int32)
+        got = sorted_scatter_add_pallas(
+            (jnp.ones(npix, jnp.float32),), jnp.asarray(idx),
+            (jnp.ones(512, jnp.float32),),
+            block_rows=128, tile_rows=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got[0]),
+                                      np.ones(npix, np.float32))
+
+    def test_block_tile_shape_ladder(self):
+        """Misrouting across block/tile boundaries shows up when the
+        partition sizes change but the answer must not."""
+        for br, tr in [(128, 128), (256, 128), (512, 256), (1024, 512)]:
+            self._run(npix=1100, n_rows=3000, n_chan=2, seed=4,
+                      block_rows=br, tile_rows=tr)
+
+    def test_scatter_add_accum_unsorted_cpu_fallback(self):
+        """The public entry: unsorted indices + OOR dropped on the CPU
+        fallback path the runners hit in tests."""
+        rng = np.random.default_rng(5)
+        npix = 200
+        idx = jnp.asarray(rng.integers(0, npix + 50, 900).astype(np.int32))
+        vals = (jnp.asarray(rng.normal(size=900).astype(np.float32)),
+                jnp.asarray(rng.normal(size=900).astype(np.float32)))
+        accs = (jnp.zeros(npix, jnp.float32), jnp.zeros(npix, jnp.float32))
+        got = scatter_add_accum(accs, idx, vals)
+        want = _scatter_reference(npix, np.asarray(idx),
+                                  tuple(np.asarray(v) for v in vals))
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), w, rtol=1e-6,
+                                       atol=1e-6)

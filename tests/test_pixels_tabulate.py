@@ -139,6 +139,13 @@ class TestTabulatedProfile:
         with pytest.raises(NameError):
             t.real(cosmo, 1.0, 1e14, 0.8)
 
+    def test_rejects_other_params(self, cosmo):
+        """TabulatedProfile has no parameter axes: other_params must raise
+        (not be silently ignored) and point at ParamTabulatedProfile."""
+        t = TabulatedProfile(Gas(**PAR), cosmo)
+        with pytest.raises(ValueError, match="ParamTabulatedProfile"):
+            t.setup_interpolator(other_params={'theta_ej': np.array([2.0])})
+
     def test_pickle(self, cosmo, tab):
         import pickle
         t2 = pickle.loads(pickle.dumps(tab))
