@@ -9,6 +9,8 @@ Run: python examples/01_profiles.py
 
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 from baryonification_tpu import Cosmology
 from baryonification_tpu.profiles import Schneider19 as S19
 from baryonification_tpu.profiles import Arico20 as A20

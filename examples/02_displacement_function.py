@@ -10,6 +10,8 @@ Run: python examples/02_displacement_function.py
 
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 from baryonification_tpu import Cosmology
 from baryonification_tpu.displacement import Baryonification3D
 from baryonification_tpu.profiles import DarkMatterOnly, DarkMatterBaryon

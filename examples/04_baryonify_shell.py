@@ -14,6 +14,8 @@ import time
 
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 from baryonification_tpu import (Cosmology, HaloLightConeCatalog,
                                  LightconeShell, BaryonifyShell)
 from baryonification_tpu.displacement import Baryonification2D

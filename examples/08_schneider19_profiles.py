@@ -1,49 +1,162 @@
-"""Schneider+19 component density profiles (reference
-examples/08_Reproduce_Schneider19.ipynb, Fig. 1 of Schneider+19).
+"""Asserted reproduction of Schneider+19 Fig. 1 (component profiles).
 
-Evaluates the component rho(r) at M = 10^14 Msun, z = 0 and prints the
-fractions: CollisionlessMatter + Gas + Stars should approach the total
-DMB profile, and the enclosed DMO vs DMB masses converge at large r
-(the defining property the displacement function inverts).
+Mirrors the reference notebook `examples/08_Reproduce_Schneider19.ipynb`,
+which overlays model curves on data scraped from the published figure
+(`examples/S19_Fig1_Scrapped.csv`) and checks agreement by eye. Here the
+comparison is quantitative: each curve's RMS log10 deviation from the
+scraped points must stay inside a stated tolerance band, and the script
+exits nonzero on regression.
+
+Notebook config (cell 0): S19 cosmology (Omega_m=0.32, Omega_b=0.048,
+h=0.67, sigma8=0.83, n_s=0.96), cdelta=6.71 (the S15 value), A=0.09/2,
+M1=2.5e11/h, mu_beta=1 with M_c swept over {inf, 1e14/h, 1e-10} to hit
+beta = {0, 1.5, 3}. Components are plotted as (r*h, rho/h^2); DMO/DMB as
+(r*h, r^2 rho) — notebook cells 4 and 6.
+
+NOTE on the scraped CSV: its 'Gas1' column is the beta=3 curve and 'Gas3'
+is beta=0 (the scraper labeled the gas curves in reverse visual order; the
+published beta=0 curve is the extended one). Verified by the ~2 dex
+mirror-image residuals under the nominal labeling vs <0.05 dex under the
+swap. The DMB1..3 columns are in model order (beta=0,1.5,3).
 
 Run: python examples/08_schneider19_profiles.py
 """
 
+import os
+import sys
+
 import numpy as np
 
-from baryonification_tpu import Cosmology
-from baryonification_tpu.profiles import (DarkMatter, CollisionlessMatter,
-                                          Gas, Stars, DarkMatterOnly,
-                                          DarkMatterBaryon)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root, for the package
 
-cosmo = Cosmology.from_dict(dict(Omega_m=0.3, Omega_b=0.05, h=0.7,
-                                 sigma8=0.8, n_s=0.96, w0=-1.0))
+# curve -> (model key, RMS tolerance in dex). Tolerances are ~1.5x the
+# measured RMS at commit time; the floor is figure-scraping noise (the
+# steep STAR r^-2 exp profile scrapes worst), not model error — DMO and
+# the beta=1.5 DMB agree at the 1.5-2% level.
+FIG1_CURVES = {
+    'STAR': ('star', 0.12),
+    'GAS1': ('gas_b3', 0.07),    # scraped label reversed: this is beta=3
+    'GAS2': ('gas_b15', 0.07),
+    'GAS3': ('gas_b0', 0.07),    # scraped label reversed: this is beta=0
+    '2HALO': ('twohalo', 0.07),
+    'DMO': ('dmo', 0.012),
+    'DMB1': ('dmb_b0', 0.09),
+    'DMB2': ('dmb_b15', 0.012),
+    'DMB3': ('dmb_b3', 0.09),
+}
 
-par = dict(epsilon=4.0, theta_ej=4.0, theta_co=0.1, M_c=1e14, mu_beta=0.1,
-           gamma=2.5, delta=7, eta=0.3, eta_delta=0.1, tau=-1.5,
-           tau_delta=0, A=0.055, M1=3e11, epsilon_h=0.015, a=0.3, n=2.0,
-           p=0.3, q=0.707, cutoff=np.inf, proj_cutoff=1000)
 
-M, a = 1e14, 1.0
-r = np.geomspace(0.01, 10, 13)
+def load_scraped_fig1(path=None):
+    """Scraped S19 Fig 1 curves as {name: (X, Y)} with NaN rows dropped.
 
-comps = dict(DM=DarkMatter(**par), CLM=CollisionlessMatter(**par),
-             Gas=Gas(**par), Stars=Stars(**par),
-             DMO=DarkMatterOnly(**par), DMB=DarkMatterBaryon(**par))
-rho = {k: np.asarray(v.real(cosmo, r, M, a)) for k, v in comps.items()}
+    X is r in Mpc/h; Y is rho/h^2 [Msun h^2/Mpc^3] for components and
+    r^2 rho [Msun/Mpc] for the DMO/DMB curves (notebook cells 4/6).
+    """
+    if path is None:
+        path = os.path.join(_HERE, 'data', 'S19_Fig1_Scrapped.csv')
+    names = ['STAR', 'GAS1', 'GAS2', 'GAS3', '2HALO', 'TOTAL', 'R200',
+             'DMO', 'DMB1', 'DMB2', 'DMB3']
+    raw = np.genfromtxt(path, delimiter=',', skip_header=2)
+    out = {}
+    for i, nm in enumerate(names):
+        X, Y = raw[:, 2 * i], raw[:, 2 * i + 1]
+        ok = np.isfinite(X) & np.isfinite(Y)
+        out[nm] = (X[ok], Y[ok])
+    return out
 
-print("   r [Mpc]    rho_DM       rho_CLM      rho_Gas      rho_Star     "
-      "(CLM+Gas+Star)/DMB")
-for i in range(len(r)):
-    tot = rho['CLM'][i] + rho['Gas'][i] + rho['Stars'][i]
-    print(f"   {r[i]:7.3f}  {rho['DM'][i]:11.4e}  {rho['CLM'][i]:11.4e}"
-          f"  {rho['Gas'][i]:11.4e}  {rho['Stars'][i]:11.4e}"
-          f"   {tot / rho['DMB'][i]:7.4f}")
 
-# enclosed-mass convergence
-rr = np.geomspace(1e-3, 60, 4000)
-m_dmo = np.trapezoid(4 * np.pi * rr**2
-                     * np.asarray(comps['DMO'].real(cosmo, rr, M, a)), rr)
-m_dmb = np.trapezoid(4 * np.pi * rr**2
-                     * np.asarray(comps['DMB'].real(cosmo, rr, M, a)), rr)
-print(f"\nM_DMO(<60 Mpc) / M_DMB(<60 Mpc) = {m_dmo / m_dmb:.5f}")
+def s19_fig1_config():
+    """The notebook-08 cosmology and parameter dict."""
+    from baryonification_tpu import Cosmology
+
+    h = 0.67
+    cosmo = Cosmology(Omega_m=0.32, Omega_b=0.048, h=h, sigma8=0.83,
+                      n_s=0.96)
+    bpar = dict(theta_ej=4, theta_co=0.1,
+                mu_beta=1,            # then sweep M_c to set beta
+                eta=0.3, eta_delta=0.3,
+                tau=0, tau_delta=0,
+                A=0.09 / 2,           # factor 2: high-mass behavior match
+                M1=2.5e11 / h,
+                epsilon_h=0.015, a=0.3, n=2, epsilon=4, p=0.3, q=0.707,
+                cdelta=6.71,          # S15 value, reproduces their DMO
+                gamma=2, delta=7)
+    return cosmo, bpar, h
+
+
+def compute_model_curves(r=None):
+    """Evaluate the 9 Fig-1 model curves at M=1e14/h, z=0.
+
+    Returns (r, curves) where curves maps model keys to rho(r) in
+    Msun/Mpc^3 (comoving radii in Mpc).
+    """
+    import jax
+    from baryonification_tpu.profiles import (Gas, Stars, TwoHalo,
+                                              DarkMatterOnly,
+                                              DarkMatterBaryon)
+
+    cosmo, bpar, h = s19_fig1_config()
+    if r is None:
+        r = np.geomspace(1e-3, 50, 1000)
+    M, a = 1e14 / h, 1.0
+
+    curves = {
+        'gas_b0': Gas(M_c=np.inf, **bpar),
+        'gas_b15': Gas(M_c=1e14 / h, **bpar),
+        'gas_b3': Gas(M_c=1e-10, **bpar),
+        'star': Stars(**bpar),
+        'twohalo': TwoHalo(**bpar),
+        'dmo': DarkMatterOnly(**bpar),
+        'dmb_b0': DarkMatterBaryon(M_c=np.inf, **bpar),
+        'dmb_b15': DarkMatterBaryon(M_c=1e14 / h, **bpar),
+        'dmb_b3': DarkMatterBaryon(M_c=1e-10, **bpar),
+    }
+    # profile quadratures are f64 host work: pin to the CPU backend
+    with jax.default_device(jax.devices("cpu")[0]):
+        curves = {k: np.asarray(v.real(cosmo, r, M, a))
+                  for k, v in curves.items()}
+    return r, curves, h
+
+
+def fig1_rms(scraped=None, r=None, curves=None, h=None):
+    """RMS log10(model/scraped) per curve, in dex."""
+    if scraped is None:
+        scraped = load_scraped_fig1()
+    if curves is None:
+        r, curves, h = compute_model_curves(r)
+    rms = {}
+    for nm, (key, _) in FIG1_CURVES.items():
+        X, Y = scraped[nm]
+        r_mpc = X / h                     # scraped x-axis is Mpc/h
+        if nm.startswith('DM'):           # r^2 rho, no /h^2 (cell 6)
+            model = np.interp(np.log(r_mpc), np.log(r), r**2 * curves[key])
+        else:                             # rho/h^2 (cell 4)
+            model = np.interp(np.log(r_mpc), np.log(r),
+                              curves[key]) / h**2
+        res = np.log10(model / Y)
+        rms[nm] = float(np.sqrt(np.mean(res**2)))
+    return rms
+
+
+def main():
+    rms = fig1_rms()
+    failed = []
+    print("Schneider+19 Fig 1 parity (RMS log10 model/scraped, dex):")
+    for nm, (key, tol) in FIG1_CURVES.items():
+        status = "ok" if rms[nm] < tol else "FAIL"
+        if status == "FAIL":
+            failed.append(nm)
+        print(f"  {nm:6s} ({key:8s}): {rms[nm]:.4f}  (tol {tol})  {status}")
+    overall = np.sqrt(np.mean([v**2 for v in rms.values()]))
+    print(f"  overall RMS: {overall:.4f} dex "
+          f"(~{100 * (10**overall - 1):.1f}% typical deviation)")
+    if failed:
+        print(f"REGRESSION: curves out of tolerance: {failed}")
+        return 1
+    print("all Fig-1 curves within tolerance")
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -14,6 +14,8 @@ import time
 import numpy as np
 import jax.numpy as jnp
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 from baryonification_tpu import (Cosmology, HaloNDCatalog,
                                  ParticleSnapshot, BaryonifySnapshot)
 from baryonification_tpu.displacement import Baryonification3D

@@ -6,6 +6,8 @@ Run: python examples/13_mead_profiles.py
 
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 from baryonification_tpu import Cosmology
 from baryonification_tpu.profiles import mead20 as M20
 
