@@ -22,6 +22,7 @@ Replaces the reference's joblib/loky process pools
 """
 
 import copy
+from functools import lru_cache
 
 import numpy as np
 import jax
@@ -29,19 +30,34 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ['SimpleParallel', 'SplitJoinParallel', 'mesh_shard_halos',
-           'mesh_cellmajor_shell']
+           'mesh_cellmajor_shell', 'mesh_offsets_bucket',
+           'mesh_paint_bucket', 'mesh_regrid_shell', 'min_coarse_nside']
 
 
 class SimpleParallel:
-    """Run a list of runners; returns outputs in input order."""
+    """Run a list of runners; returns outputs in input order.
+
+    ``njobs`` maps to round-robin device placement: job i computes on
+    jax.devices()[i % njobs] (the reference's task-parallel joblib pool,
+    `Parallelize.py:92-113`, moved onto local devices). JAX dispatch is
+    async, so placing consecutive jobs on different devices overlaps
+    their device work; njobs <= 0 uses every local device.
+    """
 
     def __init__(self, joblist, njobs=-1, verbose=True):
         self.joblist = joblist
-        self.njobs = njobs  # accepted for API compatibility
+        self.njobs = njobs
         self.verbose = verbose
 
     def process(self):
-        return [runner.process() for runner in self.joblist]
+        devices = jax.devices()
+        n = self.njobs if self.njobs > 0 else len(devices)
+        n = min(n, len(devices))
+        out = []
+        for i, runner in enumerate(self.joblist):
+            with jax.default_device(devices[i % n]):
+                out.append(runner.process())
+        return out
 
 
 def _get_catalog(runner):
@@ -86,9 +102,17 @@ class SplitJoinParallel:
             self.runner_list.append(r)
 
     def process(self):
+        """Run the shards with round-robin device placement and sum —
+        the reference's additive join (`Parallelize.py:297-319`). For a
+        true single-program multi-device run, prefer passing ``mesh=`` to
+        the runner itself (the cell-sharded path), which needs no
+        catalog splitting at all."""
+        devices = jax.devices()
+        n = min(self.njobs, len(devices))
         out = None
-        for r in self.runner_list:
-            res = r.process()
+        for i, r in enumerate(self.runner_list):
+            with jax.default_device(devices[i % n]):
+                res = r.process()
             out = res if out is None else out + res
         return out
 
@@ -107,6 +131,127 @@ def mesh_shard_halos(mesh, axis, halo_arrays):
     return jax.tree.map(
         lambda x: jax.device_put(x, sharding) if np.ndim(x) >= 1 else x,
         halo_arrays)
+
+
+def min_coarse_nside(n_devices):
+    """Smallest power-of-two nside_c whose cell count (12 nside_c^2)
+    splits evenly over ``n_devices`` — the coarseness floor for the
+    cell-sharded runner path."""
+    nsc = 1
+    while (12 * nsc * nsc) % n_devices:
+        nsc *= 2
+    return nsc
+
+
+@lru_cache(maxsize=None)
+def _mesh_offsets_fn(mesh, axis, use_rdelta, F, C_blk, n_hi, eps_max):
+    """Compiled shard-mapped cell-major displacement pass (cached so
+    repeated buckets/process() calls reuse the executable)."""
+    from .runners.shell_cellmajor import cellmajor_offsets_pass
+
+    def step(vx_s, vy_s, vz_s, dense_s, counts_s, ox, oy, oz,
+             packed, gz, gM, table, lnr):
+        return cellmajor_offsets_pass(
+            use_rdelta, F, C_blk, n_hi, vx_s, vy_s, vz_s,
+            dense_s.reshape(-1), counts_s, packed, gz, gM, table, lnr,
+            eps_max, ox, oy, oz)
+
+    sh = P(axis)
+    rep = P()
+    return jax.jit(jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(sh, sh, sh, sh, sh, sh, sh, sh, rep, rep, rep, rep, rep),
+        out_specs=(sh, sh, sh)))
+
+
+def mesh_offsets_bucket(mesh, axis, use_rdelta, F, C_blk, n_hi,
+                        pix_planes, dense2d, counts, packed, gz, gM,
+                        table, lnr_grid, eps_max, offsets):
+    """One bucket of the cell-sharded displacement pass.
+
+    NESTED-ordered cells are disjoint sky patches, so the pass is
+    embarrassingly parallel: each device owns a contiguous cell range
+    (its slice of the pixel planes, dense (ncell, K_pad) candidate
+    matrix and counts); halo records and the base table are replicated;
+    the per-pixel offsets come out sharded with NO communication.
+    ``offsets`` carries sharded across buckets.
+    """
+    fn = _mesh_offsets_fn(mesh, axis, bool(use_rdelta), int(F), int(C_blk),
+                          int(n_hi), float(eps_max))
+    vx, vy, vz = pix_planes
+    ox, oy, oz = offsets
+    return fn(vx, vy, vz, dense2d, counts, ox, oy, oz,
+              packed, gz, gM, table, lnr_grid)
+
+
+@lru_cache(maxsize=None)
+def _mesh_paint_fn(mesh, axis, F, C_blk, n_hi, eps_max):
+    from .runners.shell_cellmajor import cellmajor_paint_pass
+
+    def step(vx_s, vy_s, vz_s, dense_s, counts_s, m_s,
+             packed, gz, gM, table, lnr):
+        return cellmajor_paint_pass(
+            F, C_blk, n_hi, vx_s, vy_s, vz_s, dense_s.reshape(-1),
+            counts_s, packed, gz, gM, table, lnr, eps_max, m_s)
+
+    sh = P(axis)
+    rep = P()
+    return jax.jit(jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(sh, sh, sh, sh, sh, sh, rep, rep, rep, rep, rep),
+        out_specs=sh))
+
+
+def mesh_paint_bucket(mesh, axis, F, C_blk, n_hi, pix_planes, dense2d,
+                      counts, packed, gz, gM, table, lnr_grid, eps_max,
+                      map_nested):
+    """One bucket of the cell-sharded painting pass (painting is purely
+    local to each device's pixels; the map carries sharded)."""
+    fn = _mesh_paint_fn(mesh, axis, int(F), int(C_blk), int(n_hi),
+                        float(eps_max))
+    vx, vy, vz = pix_planes
+    return fn(vx, vy, vz, dense2d, counts, map_nested,
+              packed, gz, gM, table, lnr_grid)
+
+
+@lru_cache(maxsize=None)
+def _mesh_regrid_fn(mesh, axis, nside):
+    from .ops import healpix as hpx
+
+    npix = hpx.npix(nside)
+
+    def step(vx_s, vy_s, vz_s, m_s, ox, oy, oz):
+        x = vx_s + ox
+        y = vy_s + oy
+        z = vz_s + oz
+        r = jnp.sqrt(x * x + y * y + z * z)
+        theta = jnp.arccos(jnp.clip(z / r, -1.0, 1.0))
+        phi = jnp.arctan2(y, x)
+        phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+        ps, ws = hpx.get_interp_weights_parts(nside, theta, phi)
+        idx = jnp.concatenate([p.astype(jnp.int32) for p in ps])
+        contrib = jnp.concatenate([w.astype(m_s.dtype) * m_s for w in ws])
+        partial = jnp.zeros((npix,), dtype=m_s.dtype).at[idx].add(contrib)
+        return jax.lax.psum(partial, axis)
+
+    sh = P(axis)
+    return jax.jit(jax.shard_map(
+        step, mesh=mesh, in_specs=(sh, sh, sh, sh, sh, sh, sh),
+        out_specs=P()))
+
+
+def mesh_regrid_shell(mesh, axis, nside, pix_planes, orig_map_nested,
+                      offsets):
+    """Cell-sharded conservative regrid: each device redeposits its own
+    pixels' mass (the 4-neighbor bilinear scatter may cross the shard
+    boundary) into a full-sky local partial map; one ``psum`` joins them —
+    the reference's additive join (`Parallelize.py:297-319`) riding ICI.
+    Inputs are NESTED-order sharded planes; output is the new RING-order
+    map, replicated."""
+    fn = _mesh_regrid_fn(mesh, axis, int(nside))
+    vx, vy, vz = pix_planes
+    ox, oy, oz = offsets
+    return fn(vx, vy, vz, orig_map_nested, ox, oy, oz)
 
 
 def mesh_cellmajor_shell(mesh, axis, nside, F, C_blk, n_hi, use_rdelta,
@@ -132,9 +277,6 @@ def mesh_cellmajor_shell(mesh, axis, nside, F, C_blk, n_hi, use_rdelta,
     Returns the new mass map (npix,) in RING order, fully replicated
     (the 4-neighbor redeposit targets are RING ids).
     """
-    from .runners.shell_cellmajor import cellmajor_offsets_pass
-    from .ops import healpix as hpx
-
     vx, vy, vz = pix_planes
     npix = vx.shape[0]
     n_dev = mesh.shape[axis]
@@ -143,36 +285,11 @@ def mesh_cellmajor_shell(mesh, axis, nside, F, C_blk, n_hi, use_rdelta,
         f"cells ({ncell}) must split evenly over {n_dev} devices in "
         f"chunks of {C_blk}")
     dt = orig_map.dtype
-    rep = P()
-
-    def step(vx_s, vy_s, vz_s, dense_s, counts_s, orig_s,
-             packed_r, gz_r, gM_r, table_r, lnr_r):
-        zero = jnp.zeros((counts_s.shape[0] * F,), dtype=dt)
-        ox, oy, oz = cellmajor_offsets_pass(
-            use_rdelta, F, C_blk, n_hi, vx_s, vy_s, vz_s,
-            dense_s.reshape(-1), counts_s, packed_r, gz_r, gM_r,
-            table_r, lnr_r, eps_max, zero, zero, zero)
-        # local regrid of this shard's pixels into a full-sky partial
-        x = vx_s + ox
-        y = vy_s + oy
-        z = vz_s + oz
-        r = jnp.sqrt(x * x + y * y + z * z)
-        theta = jnp.arccos(jnp.clip(z / r, -1.0, 1.0))
-        phi = jnp.arctan2(y, x)
-        phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
-        ps, ws = hpx.get_interp_weights_parts(nside, theta, phi)
-        # neighbor pixel ids are RING; convert the local nested mass to
-        # ring targets via a full-size partial map
-        idx = jnp.concatenate([p.astype(jnp.int32) for p in ps])
-        contrib = jnp.concatenate([w.astype(dt) * orig_s for w in ws])
-        partial = jnp.zeros((npix,), dtype=dt).at[idx].add(contrib)
-        return jax.lax.psum(partial, axis)
-
     K_pad = hid_dense.shape[0] // ncell
-    sharded = jax.shard_map(
-        step, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  rep, rep, rep, rep, rep),
-        out_specs=rep)
-    return sharded(vx, vy, vz, hid_dense.reshape(ncell, K_pad), counts,
-                   orig_map, packed, gz, gM, table, lnr_grid)
+    z0 = jnp.zeros((npix,), dtype=dt)
+    offsets = mesh_offsets_bucket(
+        mesh, axis, use_rdelta, F, C_blk, n_hi, pix_planes,
+        hid_dense.reshape(ncell, K_pad), counts, packed, gz, gM, table,
+        lnr_grid, eps_max, (z0, z0, z0))
+    return mesh_regrid_shell(mesh, axis, nside, pix_planes, orig_map,
+                             offsets)

@@ -74,16 +74,18 @@ def _bucket_edges(radii, n_buckets):
     return out
 
 
-def _buckets_by_nsidec(radii, nside):
+def _buckets_by_nsidec(radii, nside, nside_c_min=1):
     """Group halos by their coarse-cell level (the cell-major pass's
     natural granularity): one dense pass per distinct nside_c instead of
     one per radius bucket. Merging radius buckets that share a level is
     a strict win — the per-cell candidate bound of the union is at most
     (and typically well below) the sum of the separate bounds, and each
-    merged level saves one full-sky sweep."""
+    merged level saves one full-sky sweep. ``nside_c_min`` floors the
+    coarseness so the cell count splits evenly over a device mesh."""
     radii = np.asarray(radii)
     t = np.sqrt(np.pi / 3.0) / np.maximum(radii, 1e-4)
-    n_c = np.clip(2.0 ** np.round(np.log2(t)), 1, nside).astype(np.int64)
+    n_c = np.clip(2.0 ** np.round(np.log2(t)), nside_c_min,
+                  nside).astype(np.int64)
     out = []
     for val in np.unique(n_c)[::-1]:          # fine -> coarse
         idx = np.where(n_c == val)[0]
@@ -127,7 +129,7 @@ class DefaultRunner:
     def __init__(self, HaloLightConeCatalog, LightconeShell, epsilon_max,
                  model, use_ellipticity=False, mass_def=None, verbose=True,
                  halo_chunk=256, n_buckets=8, precision="auto",
-                 method="auto"):
+                 method="auto", mesh=None, mesh_axis=None):
         self.HaloLightConeCatalog = HaloLightConeCatalog
         self.LightconeShell = LightconeShell
         self.cosmo = HaloLightConeCatalog.cosmology
@@ -138,6 +140,20 @@ class DefaultRunner:
         self.halo_chunk = halo_chunk
         self.n_buckets = n_buckets
         self.use_ellipticity = use_ellipticity
+        # multi-device execution: a jax.sharding.Mesh shards the NESTED
+        # pixel/cell axis of the cell-major passes across devices (the
+        # full process() pipeline — offsets, painting and the final
+        # psum-joined regrid — runs sharded; see parallel.py)
+        self.mesh = mesh
+        self.mesh_axis = (mesh_axis if mesh_axis is not None
+                          else (mesh.axis_names[0] if mesh is not None
+                                else None))
+        if mesh is not None and method == "auto":
+            method = "cellmajor"
+        if mesh is not None and method != "cellmajor":
+            raise ValueError(
+                "mesh= is only supported with the cell-major method (the "
+                "cell axis is what shards); got method=%r" % (method,))
         # float32 on accelerators (f64 is software-emulated on TPU); the
         # conservation-critical regrid weights stay exact-sum by
         # construction, and the offset delta uses a cancellation-stable
@@ -312,6 +328,47 @@ class DefaultRunner:
             cache[key] = (vx[n2r], vy[n2r], vz[n2r])
         return cache[key]
 
+    # ----- mesh (multi-device) helpers -----
+    @property
+    def _n_mesh_devices(self):
+        return self.mesh.shape[self.mesh_axis] if self.mesh is not None \
+            else 1
+
+    def _pixel_sharding(self):
+        from jax.sharding import NamedSharding, PartitionSpec
+        return NamedSharding(self.mesh, PartitionSpec(self.mesh_axis))
+
+    def _pixels_nested_sharded(self, nside, dt):
+        """Nested-order pixel planes, sharded by contiguous pixel blocks
+        (= contiguous coarse-cell ranges) over the mesh axis."""
+        cache = getattr(self, '_pixn_mesh_cache', None)
+        if cache is None:
+            cache = {}
+            self._pixn_mesh_cache = cache
+        key = str(dt)
+        if key not in cache:
+            sh = self._pixel_sharding()
+            cache[key] = tuple(jax.device_put(p, sh)
+                               for p in self._pixels_nested(nside, dt))
+        return cache[key]
+
+    def _dense_candidates_sharded(self, bi, nside_c, sub, dt, r_b):
+        """(ncell, K_pad) dense candidates + (ncell,) counts, sharded by
+        cells over the mesh axis (cached per bucket)."""
+        cache = getattr(self, '_dense_mesh_cache', None)
+        if cache is None:
+            cache = {}
+            self._dense_mesh_cache = cache
+        key = (bi, nside_c, str(dt))
+        if key not in cache:
+            dense, counts, K = self._dense_candidates(bi, nside_c, sub,
+                                                      dt, r_b)
+            ncell = counts.shape[0]
+            sh = self._pixel_sharding()
+            cache[key] = (jax.device_put(dense.reshape(ncell, -1), sh),
+                          jax.device_put(counts, sh), K)
+        return cache[key]
+
     @staticmethod
     def _node_bound(g2, rad_max, Nr):
         """Static radial-node bound for a bucket: nodes above the
@@ -321,11 +378,13 @@ class DefaultRunner:
         return min(Nr, max(32, -(-n_hi // 32) * 32))
 
     @staticmethod
-    def _cell_chunk(nside_c, F, target=1 << 18):
+    def _cell_chunk(nside_c, F, target=1 << 18, n_dev=1):
         """Cells per lax.map step: a power of two (divides the 12 *
-        nside_c^2 cells) with ~target pixels per step."""
+        nside_c^2 cells — or the per-device cell count when sharded)
+        with ~target pixels per step."""
         c = 1
-        while c * 2 * F <= target and c * 2 <= 4 * nside_c * nside_c:
+        cap = max(1, 4 * nside_c * nside_c // n_dev)
+        while c * 2 * F <= target and c * 2 <= cap:
             c *= 2
         return c
 
@@ -343,7 +402,8 @@ class DefaultRunner:
         the catalog per shard)."""
         if getattr(self, '_cache_cat', None) is not self.HaloLightConeCatalog:
             for attr in ('_halo_arrays_cache', '_packed_cache',
-                         '_reg_cache', '_dense_cache'):
+                         '_reg_cache', '_dense_cache',
+                         '_dense_mesh_cache'):
                 if hasattr(self, attr):
                     delattr(self, attr)
             self._cache_cat = self.HaloLightConeCatalog
@@ -620,9 +680,23 @@ class BaryonifyShell(DefaultRunner):
             if self.method == "cellmajor":
                 from . import shell_cellmajor as cm
                 packed_all = self._packed_records(arrs, dt)
-                vxn, vyn, vzn = self._pixels_nested(nside, dt)
-                off_nested = (zeros, zeros, zeros)
-            groups = (_buckets_by_nsidec(arrs['radius'], nside)
+                n_dev = self._n_mesh_devices
+                if self.mesh is not None:
+                    from ..parallel import (mesh_offsets_bucket,
+                                            min_coarse_nside)
+                    nsc_min = min_coarse_nside(n_dev)
+                    assert nsc_min <= nside, (
+                        f"nside={nside} too small to shard over {n_dev} "
+                        f"devices (needs nside >= {nsc_min})")
+                    vxn, vyn, vzn = self._pixels_nested_sharded(nside, dt)
+                    sh = self._pixel_sharding()
+                    off_nested = tuple(jax.device_put(z, sh)
+                                       for z in (zeros, zeros, zeros))
+                else:
+                    nsc_min = 1
+                    vxn, vyn, vzn = self._pixels_nested(nside, dt)
+                    off_nested = (zeros, zeros, zeros)
+            groups = (_buckets_by_nsidec(arrs['radius'], nside, nsc_min)
                       if self.method == "cellmajor"
                       else [(None, i) for i in buckets])
             for bi, (nsc, idx) in enumerate(groups):
@@ -631,18 +705,33 @@ class BaryonifyShell(DefaultRunner):
                 if self.method == "cellmajor":
                     jidx = jnp.asarray(idx, dtype=jnp.int32)
                     nside_c = nsc
-                    dense, counts, K = self._dense_candidates(
-                        bi, nside_c, sub, dt, r_b)
                     F = (nside // nside_c) ** 2
-                    C_blk = self._cell_chunk(nside_c, F)
+                    C_blk = self._cell_chunk(nside_c, F, n_dev=n_dev)
                     g2 = np.asarray(model._grids[2])
                     rad_max = (np.log(self.epsilon_max) if use_rdelta
                                else np.log(self.epsilon_max
                                            * sub['R_com'].max()))
                     n_hi = self._node_bound(g2, rad_max, len(g2))
+                    if self.mesh is not None:
+                        dense2d, counts, K = self._dense_candidates_sharded(
+                            bi, nside_c, sub, dt, r_b)
+                        if self.verbose:
+                            print(f"Baryonifying matter: bucket {bi + 1}/"
+                                  f"{len(groups)} ({len(idx)} halos, "
+                                  f"nside_c={nside_c}, K={K}, F={F}, "
+                                  f"C={C_blk}, n_hi={n_hi}, "
+                                  f"mesh x{n_dev})")
+                        off_nested = mesh_offsets_bucket(
+                            self.mesh, self.mesh_axis, use_rdelta, F,
+                            C_blk, n_hi, (vxn, vyn, vzn), dense2d, counts,
+                            packed_all[jidx], grids[0], grids[1], table,
+                            grids[2], float(self.epsilon_max), off_nested)
+                        continue
+                    dense, counts, K = self._dense_candidates(
+                        bi, nside_c, sub, dt, r_b)
                     if self.verbose:
                         print(f"Baryonifying matter: bucket {bi + 1}/"
-                              f"{len(buckets)} ({len(idx)} halos, "
+                              f"{len(groups)} ({len(idx)} halos, "
                               f"nside_c={nside_c}, K={K}, F={F}, "
                               f"C={C_blk}, n_hi={n_hi})")
                     off_nested = cm.cellmajor_offsets_pass(
@@ -698,8 +787,15 @@ class BaryonifyShell(DefaultRunner):
                 # scatter targets are RING ids either way
                 n2r, _ = self._nested_maps(nside)
                 omap_n = jnp.asarray(orig_map, dtype=dt)[n2r]
-                new_map = _regrid_shell(nside, tables, vxn, vyn, vzn,
-                                        omap_n, off_nested)
+                if self.mesh is not None:
+                    from ..parallel import mesh_regrid_shell
+                    omap_n = jax.device_put(omap_n, self._pixel_sharding())
+                    new_map = mesh_regrid_shell(
+                        self.mesh, self.mesh_axis, nside,
+                        (vxn, vyn, vzn), omap_n, off_nested)
+                else:
+                    new_map = _regrid_shell(nside, tables, vxn, vyn, vzn,
+                                            omap_n, off_nested)
             else:
                 new_map = _regrid_shell(nside, tables, vx, vy, vz,
                                         jnp.asarray(orig_map, dtype=dt),
@@ -769,9 +865,23 @@ class PaintProfilesShell(DefaultRunner):
             if self.method == "cellmajor":
                 from . import shell_cellmajor as cm
                 packed_all = self._packed_records(arrs, dt)
-                vxn, vyn, vzn = self._pixels_nested(nside, dt)
-                map_nested = jnp.zeros((hpx.npix(nside),), dtype=dt)
-            groups = (_buckets_by_nsidec(arrs['radius'], nside)
+                n_dev = self._n_mesh_devices
+                if self.mesh is not None:
+                    from ..parallel import (mesh_paint_bucket,
+                                            min_coarse_nside)
+                    nsc_min = min_coarse_nside(n_dev)
+                    assert nsc_min <= nside, (
+                        f"nside={nside} too small to shard over {n_dev} "
+                        f"devices (needs nside >= {nsc_min})")
+                    vxn, vyn, vzn = self._pixels_nested_sharded(nside, dt)
+                    map_nested = jax.device_put(
+                        jnp.zeros((hpx.npix(nside),), dtype=dt),
+                        self._pixel_sharding())
+                else:
+                    nsc_min = 1
+                    vxn, vyn, vzn = self._pixels_nested(nside, dt)
+                    map_nested = jnp.zeros((hpx.npix(nside),), dtype=dt)
+            groups = (_buckets_by_nsidec(arrs['radius'], nside, nsc_min)
                       if self.method == "cellmajor"
                       else [(None, i) for i in buckets])
             for bi, (nsc, idx) in enumerate(groups):
@@ -780,17 +890,32 @@ class PaintProfilesShell(DefaultRunner):
                 if self.method == "cellmajor":
                     jidx = jnp.asarray(idx, dtype=jnp.int32)
                     nside_c = nsc
-                    dense, counts, K = self._dense_candidates(
-                        bi, nside_c, sub, dt, r_b)
                     F = (nside // nside_c) ** 2
-                    C_blk = self._cell_chunk(nside_c, F)
+                    C_blk = self._cell_chunk(nside_c, F, n_dev=n_dev)
                     g2 = np.asarray(model._grids[2])
                     rad_max = np.log(self.epsilon_max
                                      * sub['R_com'].max())
                     n_hi = self._node_bound(g2, rad_max, len(g2))
+                    if self.mesh is not None:
+                        dense2d, counts, K = self._dense_candidates_sharded(
+                            bi, nside_c, sub, dt, r_b)
+                        if self.verbose:
+                            print(f"Painting Profile: bucket {bi + 1}/"
+                                  f"{len(groups)} ({len(idx)} halos, "
+                                  f"nside_c={nside_c}, K={K}, F={F}, "
+                                  f"C={C_blk}, n_hi={n_hi}, "
+                                  f"mesh x{n_dev})")
+                        map_nested = mesh_paint_bucket(
+                            self.mesh, self.mesh_axis, F, C_blk, n_hi,
+                            (vxn, vyn, vzn), dense2d, counts,
+                            packed_all[jidx], grids[0], grids[1], table,
+                            grids[2], float(self.epsilon_max), map_nested)
+                        continue
+                    dense, counts, K = self._dense_candidates(
+                        bi, nside_c, sub, dt, r_b)
                     if self.verbose:
                         print(f"Painting Profile: bucket {bi + 1}/"
-                              f"{len(buckets)} ({len(idx)} halos, "
+                              f"{len(groups)} ({len(idx)} halos, "
                               f"nside_c={nside_c}, K={K}, F={F}, "
                               f"C={C_blk}, n_hi={n_hi})")
                     map_nested = cm.cellmajor_paint_pass(

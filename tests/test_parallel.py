@@ -189,3 +189,133 @@ class TestMeshCellMajor:
             5.0, omap_nest))
         np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
         assert np.isclose(got.sum(), float(omap_ring.sum()))
+
+
+class _StubDisp:
+    """Minimal displacement-model stand-in: a toy (z, M, r) table."""
+
+    p_keys = []
+    Rdelta_sampling = False
+
+    def __init__(self):
+        zg = np.log(1 + np.linspace(0.05, 0.8, 4))
+        Mg = np.log(np.geomspace(1e12, 1e16, 6))
+        rg = np.log(np.geomspace(1e-3, 80, 48))
+        d = 0.03 * np.exp(rg) * np.exp(-0.25 * rg**2)
+        self._table = jnp.asarray(np.broadcast_to(d, (4, 6, 48)).copy())
+        self._grids = tuple(map(jnp.asarray, (zg, Mg, rg)))
+
+
+class _StubPaint:
+    """Minimal tabulated-profile stand-in (log projected table)."""
+
+    p_keys = []
+
+    def __init__(self):
+        zg = np.log(1 + np.linspace(0.05, 0.8, 4))
+        Mg = np.log(np.geomspace(1e12, 1e16, 6))
+        rg = np.log(np.geomspace(1e-3, 80, 48))
+        prof = 5.0 - 2.0 * rg                # ln Sigma ~ r^-2 power law
+        self._ln2D = jnp.asarray(np.broadcast_to(prof, (4, 6, 48)).copy())
+        self._grids = tuple(map(jnp.asarray, (zg, Mg, rg)))
+
+
+def _mesh_test_setup(seed=3, n_halo=96, nside=32):
+    """Multi-bucket catalog (wide mass range -> several nside_c groups)
+    + a random mass shell."""
+    rng = np.random.default_rng(seed)
+    ra = rng.uniform(0, 360, n_halo)
+    dec = np.degrees(np.arcsin(rng.uniform(-0.95, 0.95, n_halo)))
+    M = 10 ** rng.uniform(12.5, 15.5, n_halo)
+    z = rng.uniform(0.1, 0.6, n_halo)
+    cat = HaloLightConeCatalog(ra=ra, dec=dec, M=M, z=z, cosmo=COSMO_DICT)
+    shell = LightconeShell(map=rng.uniform(0.5, 1.5, hpx.npix(nside)),
+                           cosmo=COSMO_DICT)
+    return cat, shell
+
+
+class TestRunnerMesh:
+    """BaryonifyShell / PaintProfilesShell with mesh= run the FULL
+    multi-bucket process() sharded over cells and match single-device
+    execution exactly (VERDICT r1 item 3)."""
+
+    @pytest.fixture(scope="class")
+    def mesh(self):
+        return Mesh(np.array(jax.devices()), axis_names=("cells",))
+
+    def test_baryonify_shell_mesh_matches(self, mesh):
+        from baryonification_tpu import BaryonifyShell
+
+        cat, shell = _mesh_test_setup()
+        model = _StubDisp()
+        single = BaryonifyShell(cat, shell, epsilon_max=10.0, model=model,
+                                method="cellmajor", verbose=False)
+        want = single.process()
+
+        sharded = BaryonifyShell(cat, shell, epsilon_max=10.0, model=model,
+                                 mesh=mesh, verbose=False)
+        got = sharded.process()
+        # identical per-cell arithmetic; only the regrid scatter order
+        # differs (per-device partials + psum), so f64 agreement is tight
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+        assert np.isclose(got.sum(), np.asarray(shell.map).sum())
+
+    def test_baryonify_shell_mesh_multibucket(self, mesh):
+        """The grouping must produce >= 2 coarse levels for this catalog
+        (otherwise the multi-bucket claim is vacuous)."""
+        from baryonification_tpu.runners.shell import _buckets_by_nsidec
+        from baryonification_tpu.parallel import min_coarse_nside
+
+        cat, shell = _mesh_test_setup()
+        from baryonification_tpu.cosmology import Cosmology, MassDef
+        cos = Cosmology.from_dict(COSMO_DICT)
+        a = 1 / (1 + cat.cat['z'])
+        R = np.asarray(MassDef(200, 'critical').get_radius(
+            cos, cat.cat['M'], a))
+        D = np.asarray(cos.angular_diameter_distance(a))
+        nsc_min = min_coarse_nside(jax.device_count())
+        groups = _buckets_by_nsidec(10.0 * R / D, 32, nsc_min)
+        assert len(groups) >= 2
+
+    def test_paint_shell_mesh_matches(self, mesh):
+        from baryonification_tpu import PaintProfilesShell
+
+        cat, shell = _mesh_test_setup(seed=5)
+        model = _StubPaint()
+        single = PaintProfilesShell(cat, shell, epsilon_max=10.0,
+                                    model=model, method="cellmajor",
+                                    verbose=False)
+        want = single.process()
+        sharded = PaintProfilesShell(cat, shell, epsilon_max=10.0,
+                                     model=model, mesh=mesh, verbose=False)
+        got = sharded.process()
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+        assert want.sum() > 0
+
+    def test_mesh_rejects_non_cellmajor(self, mesh):
+        from baryonification_tpu import BaryonifyShell
+
+        cat, shell = _mesh_test_setup()
+        with pytest.raises(ValueError, match="cell-major"):
+            BaryonifyShell(cat, shell, epsilon_max=10.0, model=_StubDisp(),
+                           mesh=mesh, method="scatter")
+
+
+class TestSplitJoinDevices:
+    def test_round_robin_matches_single(self):
+        """SplitJoinParallel with device round-robin still sums to the
+        single-runner result (painting is additive)."""
+        from baryonification_tpu import SplitJoinParallel, PaintProfilesShell
+
+        cat, shell = _mesh_test_setup(seed=11, n_halo=48)
+        model = _StubPaint()
+        single = PaintProfilesShell(cat, shell, epsilon_max=10.0,
+                                    model=model, method="cellmajor",
+                                    verbose=False)
+        want = single.process()
+        par = SplitJoinParallel(
+            PaintProfilesShell(cat, shell, epsilon_max=10.0, model=model,
+                               method="cellmajor", verbose=False),
+            njobs=4)
+        got = par.process()
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
