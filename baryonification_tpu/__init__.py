@@ -58,5 +58,6 @@ from .runners import (BaryonifyShell, PaintProfilesShell, BaryonifyGrid,
                       PaintProfilesGrid, PaintProfilesAnisGrid,
                       BaryonifySnapshot)
 from .parallel import SimpleParallel, SplitJoinParallel
+from . import analysis
 
 __version__ = "0.1.0"

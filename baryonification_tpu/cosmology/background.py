@@ -211,6 +211,24 @@ class Cosmology:
                                 jnp.log(t["pk0"])))
         return pk * self.growth_factor(a) ** 2
 
+    def Omega_m_a(self, a):
+        """Matter density parameter at scale factor a."""
+        a = jnp.asarray(a)
+        return self.Omega_m * a**-3 / self.E(a) ** 2
+
+    def P_nl(self, k, a=1.0):
+        """Nonlinear matter power spectrum (halofit, Takahashi+2012).
+
+        An analysis extension beyond the reference (which forces linear
+        P(k) everywhere); used by the dP(k)/P(k) suppression prediction.
+        """
+        from .power import halofit_pk
+        t = self._tables
+        ol_z = t["Ol"] * jnp.asarray(a) ** (-3.0 * (1.0 + self.w0)) \
+            / self.E(a) ** 2
+        return halofit_pk(k, t["k"], t["pk0"] * self.growth_factor(a) ** 2,
+                          self.Omega_m_a(a), ol_z, self.w0)
+
     def dlnP_dlnk(self, k):
         """Logarithmic slope of the z=0 linear power spectrum."""
         t = self._tables

@@ -13,7 +13,7 @@ All formulas are EH98 (ApJ 496, 605) eqs. 2-24; k is in 1/Mpc (no h).
 
 import jax.numpy as jnp
 
-__all__ = ["eh98_transfer", "tophat_w", "sigma_tophat"]
+__all__ = ["eh98_transfer", "tophat_w", "sigma_tophat", "halofit_pk"]
 
 
 def eh98_transfer(k, Omega_m, Omega_b, h, T_CMB=2.725):
@@ -99,3 +99,75 @@ def sigma_tophat(k, pk, R):
     integ = k**3 * pk * tophat_w(x) ** 2
     var = jnp.trapezoid(integ, jnp.log(k), axis=-1) / (2.0 * jnp.pi**2)
     return jnp.sqrt(var)
+
+
+def halofit_pk(k_eval, k_grid, pk_lin, Omega_m_z, Omega_de_z, w=-1.0):
+    """Nonlinear matter power spectrum: halofit, Takahashi+ (2012) revision.
+
+    The reference pipeline forces linear P(k) throughout (its TwoHalo term
+    asserts it, `Schneider19.py:488`); the nonlinear spectrum is an analysis
+    capability this framework adds for the published-curve parity harness —
+    the dP(k)/P(k) suppression prediction divides the 1-halo baryon
+    redistribution by the *nonlinear* DMO power (examples/10).
+
+    Parameters
+    ----------
+    k_eval : wavenumbers [1/Mpc] at which to return P_NL.
+    k_grid, pk_lin : log-spaced linear P(k) samples AT the target redshift
+        (i.e. already scaled by D(a)^2). The grid must span the nonlinear
+        scale (sigma_G = 1) and the k_eval range.
+    Omega_m_z, Omega_de_z : matter / dark-energy density parameters at the
+        target redshift.
+    w : dark-energy equation of state (constant w0).
+
+    All formulas are Takahashi+2012 (ApJ 761, 152) eqs. A1-A13.
+    """
+    k_eval = jnp.asarray(k_eval)
+    k = jnp.asarray(k_grid)
+    lnk = jnp.log(k)
+    d2_lin_grid = k**3 * jnp.asarray(pk_lin) / (2.0 * jnp.pi**2)
+
+    # Gaussian-window variance sigma_G^2(R) on a log-R grid; the nonlinear
+    # scale R_sigma solves sigma_G(R_sigma) = 1 (eq. A4), and the effective
+    # index / curvature come from the log-derivatives at R_sigma (eq. A5).
+    lnR = jnp.linspace(jnp.log(1e-3), jnp.log(1e2), 256)
+    R = jnp.exp(lnR)
+    gauss = jnp.exp(-(R[:, None] * k[None, :]) ** 2)
+    ln_s2 = jnp.log(jnp.trapezoid(d2_lin_grid * gauss, lnk, axis=-1))
+    dlnR = lnR[1] - lnR[0]
+    d1 = jnp.gradient(ln_s2) / dlnR
+    d2 = jnp.gradient(d1) / dlnR
+    # ln sigma^2 decreases monotonically with R: invert by interpolation
+    lnR_sig = jnp.interp(0.0, -ln_s2, lnR)
+    neff = -3.0 - jnp.interp(lnR_sig, lnR, d1)
+    C = -jnp.interp(lnR_sig, lnR, d2)
+    k_sigma = jnp.exp(-lnR_sig)
+
+    n = neff
+    ow = Omega_de_z * (1.0 + w)
+    a_n = 10.0 ** (1.5222 + 2.8553 * n + 2.3706 * n**2 + 0.9903 * n**3
+                   + 0.2250 * n**4 - 0.6038 * C + 0.1749 * ow)
+    b_n = 10.0 ** (-0.5642 + 0.5864 * n + 0.5716 * n**2 - 1.5474 * C
+                   + 0.2279 * ow)
+    c_n = 10.0 ** (0.3698 + 2.0404 * n + 0.8161 * n**2 + 0.5869 * C)
+    gamma_n = 0.1971 - 0.0843 * n + 0.8460 * C
+    alpha_n = jnp.abs(6.0835 + 1.3373 * n - 0.1959 * n**2 - 5.5274 * C)
+    beta_n = (2.0379 - 0.7354 * n + 0.3157 * n**2 + 1.2490 * n**3
+              + 0.3980 * n**4 - 0.1682 * C)
+    nu_n = 10.0 ** (5.2105 + 3.6902 * n)
+
+    f1 = Omega_m_z ** -0.0307
+    f2 = Omega_m_z ** -0.0585
+    f3 = Omega_m_z ** 0.0743
+
+    d2_lin = jnp.exp(jnp.interp(jnp.log(k_eval), lnk, jnp.log(d2_lin_grid)))
+    y = k_eval / k_sigma
+    fy = y / 4.0 + y**2 / 8.0
+
+    d2_q = (d2_lin * ((1.0 + d2_lin) ** beta_n / (1.0 + alpha_n * d2_lin))
+            * jnp.exp(-fy))
+    d2_hp = (a_n * y ** (3.0 * f1)
+             / (1.0 + b_n * y**f2 + (c_n * f3 * y) ** (3.0 - gamma_n)))
+    d2_h = d2_hp / (1.0 + nu_n / y**2)     # mu_n = 0 in the 2012 revision
+
+    return (d2_q + d2_h) * 2.0 * jnp.pi**2 / k_eval**3

@@ -177,3 +177,43 @@ class TestConcentration:
         got = np.asarray(c(cosmo, M, 1.0))
         assert np.all(got > 2.5) and np.all(got < 12.0)
         assert got[0] > got[-1]
+
+
+class TestHalofit:
+    """Property tests for the Takahashi+2012 halofit P_nl (external
+    Boltzmann/sim anchors are unavailable in the sandbox; the sim-anchored
+    validation is the Fig-2 suppression parity in examples/10)."""
+
+    def test_linear_limit_low_k(self, cosmo):
+        import jax.numpy as jnp
+        k = np.geomspace(1e-4, 5e-3, 8)
+        pl = np.asarray(cosmo.P_lin(jnp.asarray(k), 1.0))
+        pn = np.asarray(cosmo.P_nl(jnp.asarray(k), 1.0))
+        np.testing.assert_allclose(pn, pl, rtol=2e-2)
+
+    def test_nonlinear_boost_high_k(self, cosmo):
+        import jax.numpy as jnp
+        k = np.array([1.0, 3.0, 10.0])
+        pl = np.asarray(cosmo.P_lin(jnp.asarray(k), 1.0))
+        pn = np.asarray(cosmo.P_nl(jnp.asarray(k), 1.0))
+        assert np.all(pn > 2 * pl)
+        # boost grows with k in this regime
+        assert np.all(np.diff(pn / pl) > 0)
+
+    def test_growth_ordering(self, cosmo):
+        """Nonlinear boost at z=1 is weaker than at z=0."""
+        import jax.numpy as jnp
+        k = jnp.asarray([2.0])
+        b0 = float((cosmo.P_nl(k, 1.0) / cosmo.P_lin(k, 1.0))[0])
+        b1 = float((cosmo.P_nl(k, 0.5) / cosmo.P_lin(k, 0.5))[0])
+        assert b0 > b1 > 1.0
+
+    def test_sigma8_monotonicity(self):
+        from baryonification_tpu.cosmology import Cosmology
+        import jax.numpy as jnp
+        lo = Cosmology(Omega_m=0.3, Omega_b=0.05, h=0.7, sigma8=0.7,
+                       n_s=0.96)
+        hi = Cosmology(Omega_m=0.3, Omega_b=0.05, h=0.7, sigma8=0.9,
+                       n_s=0.96)
+        k = jnp.asarray([1.0])
+        assert float(hi.P_nl(k, 1.0)[0]) > float(lo.P_nl(k, 1.0)[0])

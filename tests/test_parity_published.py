@@ -57,3 +57,20 @@ class TestS19Fig1:
     def test_overall_rms_budget(self, fig1_rms):
         overall = np.sqrt(np.mean([v**2 for v in fig1_rms.values()]))
         assert overall < 0.06, f"overall Fig-1 RMS {overall:.4f} dex"
+
+
+class TestS19Fig2:
+    """Schneider+19 Fig 2: predicted P_B(k)/P_DMO(k) suppression vs the
+    scraped simulation-measured curves (one representative per sweep
+    family; the example asserts all 15). Measured RMS ~0.02 on a 10-25%
+    signal."""
+
+    @pytest.fixture(scope="module")
+    def ex10(self):
+        return _load_example("10_delta_pk_snapshot")
+
+    def test_sweep_representatives(self, ex10):
+        rms = ex10.fig2_rms(tags=("T4", "Ep1", "Mc4e14"))
+        assert set(rms) == {"T4", "Ep1", "Mc4e14"}
+        bad = {t: v for t, v in rms.items() if not v < ex10.FIG2_TOL}
+        assert not bad, f"Fig-2 curves out of tolerance: {bad}"
