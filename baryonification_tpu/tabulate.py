@@ -259,5 +259,12 @@ class TabulatedCorrelation3D:
     def __call__(self, r, a):
         r_use = jnp.atleast_1d(jnp.asarray(r))
         z_in = jnp.log(1.0 / a) * jnp.ones_like(r_use)
-        return ndlinear_interp(self._grids, self._xi,
-                               (z_in, jnp.log(r_use)))
+        # edge-clamp instead of NaN-fill: displacement-table builds
+        # evaluate TwoHalo on quadrature grids wider than R_range
+        # (r down to 1e-6 Mpc, where the one-halo term dominates by many
+        # orders of magnitude); a NaN there would poison the enclosed-mass
+        # cumsum and soft-degrade the whole table to d=0.
+        gz, gr = self._grids
+        z_in = jnp.clip(z_in, gz[0], gz[-1])
+        lnr = jnp.clip(jnp.log(r_use), gr[0], gr[-1])
+        return ndlinear_interp(self._grids, self._xi, (z_in, lnr))
