@@ -13,6 +13,9 @@ import numpy as np
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
+if not _os.environ.get("BENCH"):  # demos run on CPU; BENCH=1 uses the accelerator
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
 from baryonification_tpu import Cosmology
 from baryonification_tpu.profiles import CollisionlessMatter
 

@@ -29,6 +29,9 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_HERE))  # repo root, for the package
+if not os.environ.get("BENCH"):  # demos run on CPU
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
 
 # curve -> (model key, RMS tolerance in dex). Tolerances are ~1.5x the
 # measured RMS at commit time; the floor is figure-scraping noise (the

@@ -1,71 +1,137 @@
-"""dC_ell from shell baryonification (reference examples/09).
+"""Asserted dC_ell from shell baryonification (reference examples/09).
 
-Baryonifies a HEALPix shell for a sweep of theta_ej values and measures
-the angular power-spectrum ratio C_ell(baryonified)/C_ell(DMO) with the
-on-device anafast equivalent.
+The reference baryonifies ULAGAM lightcone shells for sweeps of
+theta_ej / eta_delta / mu_beta and eyeballs the
+C_ell(baryonified)/C_ell(DMO) ratios
+(`09_Reproduce_Schneider_deltaCls.ipynb`). The ULAGAM maps are not
+shippable; here the shell is built by PAINTING each halo's projected
+one-halo mass onto the sky (the framework's own painting path), so the
+baryonification acts on realistic halo-shaped structure, and the ratio
+shapes are asserted:
 
-Run: python examples/09_delta_cls_shells.py
+  - large scales preserved (|dC/C| < 0.5% at ell = 8),
+  - suppression at small scales (the ejected gas smooths halo profiles),
+  - monotone in theta_ej (larger ejection radius -> deeper suppression),
+  - monotone in ell (deeper suppression toward smaller scales).
+
+Exits nonzero on regression. Run: python examples/09_delta_cls_shells.py
 """
 
+import os
+import sys
 import time
 
 import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root, for the package
+if not os.environ.get("BENCH"):  # demos run on CPU
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 from baryonification_tpu import (Cosmology, HaloLightConeCatalog,
-                                 LightconeShell, BaryonifyShell)
+                                 LightconeShell, BaryonifyShell,
+                                 PaintProfilesShell, TabulatedProfile)
 from baryonification_tpu.displacement import Baryonification2D
-from baryonification_tpu.profiles import DarkMatterOnly, DarkMatterBaryon
+from baryonification_tpu.profiles import (DarkMatter, DarkMatterOnly,
+                                          DarkMatterBaryon)
 from baryonification_tpu.ops import healpix as hpx
 from baryonification_tpu.ops.spectra import anafast
 
-nside = 64
-lmax = 2 * nside
-n_halo = 3_000
+NSIDE = 64
+LMAX = 2 * NSIDE
+N_HALO = 3_000
+ELLS = (8, 16, 32, 48, 64, 96)
+SWEEP = (2.0, 4.0, 8.0)
 
-cosmo_dict = dict(Omega_m=0.3, Omega_b=0.05, h=0.7, sigma8=0.8, n_s=0.96,
+COSMO_DICT = dict(Omega_m=0.3, Omega_b=0.05, h=0.7, sigma8=0.8, n_s=0.96,
                   w0=-1.0)
-cosmo = Cosmology.from_dict(cosmo_dict)
-
-base_par = dict(epsilon=4.0, theta_co=0.1, M_c=1e14, mu_beta=0.1,
+BASE_PAR = dict(epsilon=4.0, theta_co=0.1, M_c=1e14, mu_beta=0.1,
                 gamma=2.5, delta=7, eta=0.3, eta_delta=0.1, tau=-1.5,
                 tau_delta=0, A=0.055, M1=3e11, epsilon_h=0.015, a=0.3,
                 n=2.0, p=0.3, q=0.707, cutoff=np.inf, proj_cutoff=1000)
 
-rng = np.random.default_rng(4)
-cat = HaloLightConeCatalog(
-    ra=rng.uniform(0, 360, n_halo),
-    dec=np.degrees(np.arcsin(rng.uniform(-1, 1, n_halo))),
-    M=10 ** rng.uniform(13.2, 15.0, n_halo),
-    z=rng.uniform(0.1, 0.9, n_halo), cosmo=cosmo_dict)
 
-# mass shell: clustered around halos so dC_ell is visible
-mass_map = rng.uniform(0.8, 1.2, hpx.npix(nside))
-th, ph = np.asarray(hpx.radec2ang(cat.cat['ra'], cat.cat['dec']))
-pix = np.asarray(hpx.ang2pix(nside, jnp.asarray(th), jnp.asarray(ph)))
-np.add.at(mass_map, pix, cat.cat['M'] / 1e14)
-shell = LightconeShell(map=mass_map, cosmo=cosmo_dict)
+def build_shell(cosmo, cat):
+    """Mass shell: painted projected one-halo DMO mass + uniform floor."""
+    tab = TabulatedProfile(DarkMatter(**dict(BASE_PAR, theta_ej=4.0)),
+                           cosmo)
+    tab.setup_interpolator(z_min=0.05, z_max=1.0, N_samples_z=8,
+                           M_min=1e12, M_max=1e16, N_samples_Mass=16,
+                           R_min=1e-3, R_max=1e2, N_samples_R=100)
+    floor = LightconeShell(map=np.full(hpx.npix(NSIDE), 1e10),
+                           cosmo=COSMO_DICT)
+    painted = PaintProfilesShell(cat, floor, epsilon_max=5, model=tab,
+                                 verbose=False).process()
+    return LightconeShell(map=np.asarray(painted) + 1e10,
+                          cosmo=COSMO_DICT)
 
-cl0 = np.asarray(anafast(jnp.asarray(shell.map), nside, lmax))
 
-print("theta_ej sweep (dC_ell/C_ell at a few ells):")
-ells = [8, 16, 32, 48, 64, 96]
-print("            " + "  ".join(f"l={l:3d}" for l in ells))
-for theta_ej in (2.0, 4.0, 8.0):
-    par = dict(base_par, theta_ej=theta_ej)
-    model = Baryonification2D(DarkMatterOnly(**par),
-                              DarkMatterBaryon(**par), cosmo,
-                              epsilon_max=20)
-    model.setup_interpolator(z_min=0.05, z_max=1.0, N_samples_z=6,
-                             M_min=1e12, M_max=1e16, N_samples_Mass=16,
-                             R_min=1e-3, R_max=1e2, N_samples_R=100,
-                             verbose=False)
-    runner = BaryonifyShell(cat, shell, epsilon_max=20, model=model,
-                            verbose=False)
+def delta_cls(theta_ej_values=SWEEP, seed=4):
+    """{theta_ej: dC_ell/C_ell at ELLS} for the theta_ej sweep."""
+    cosmo = Cosmology.from_dict(COSMO_DICT)
+    rng = np.random.default_rng(seed)
+    cat = HaloLightConeCatalog(
+        ra=rng.uniform(0, 360, N_HALO),
+        dec=np.degrees(np.arcsin(rng.uniform(-1, 1, N_HALO))),
+        M=10 ** rng.uniform(13.2, 15.0, N_HALO),
+        z=rng.uniform(0.1, 0.9, N_HALO), cosmo=COSMO_DICT)
+    shell = build_shell(cosmo, cat)
+    cl0 = np.asarray(anafast(jnp.asarray(shell.map), NSIDE, LMAX))
+
+    out = {}
+    for theta_ej in theta_ej_values:
+        par = dict(BASE_PAR, theta_ej=theta_ej)
+        model = Baryonification2D(DarkMatterOnly(**par),
+                                  DarkMatterBaryon(**par), cosmo,
+                                  epsilon_max=20)
+        model.setup_interpolator(z_min=0.05, z_max=1.0, N_samples_z=6,
+                                 M_min=1e12, M_max=1e16,
+                                 N_samples_Mass=16, R_min=1e-3,
+                                 R_max=1e2, N_samples_R=100,
+                                 verbose=False)
+        new_map = BaryonifyShell(cat, shell, epsilon_max=20, model=model,
+                                 verbose=False).process()
+        cl1 = np.asarray(anafast(jnp.asarray(new_map), NSIDE, LMAX))
+        out[theta_ej] = np.array([cl1[l] / cl0[l] - 1 for l in ELLS])
+    return out
+
+
+def main():
     t0 = time.time()
-    new_map = runner.process()
-    cl1 = np.asarray(anafast(jnp.asarray(new_map), nside, lmax))
-    ratios = "  ".join(f"{cl1[l] / cl0[l] - 1:+.3f}" for l in ells)
-    print(f"theta_ej={theta_ej:4.1f}  {ratios}   ({time.time()-t0:.0f}s)")
+    res = delta_cls()
+    print("theta_ej sweep (dC_ell/C_ell):")
+    print("            " + "  ".join(f"l={l:3d}" for l in ELLS))
+    for tej, d in res.items():
+        print(f"theta_ej={tej:4.1f}  "
+              + "  ".join(f"{v:+.4f}" for v in d))
+    print(f"[{time.time() - t0:.0f}s]")
+
+    failed = []
+    i96 = ELLS.index(96)
+    i8 = ELLS.index(8)
+    # large scales preserved
+    if not all(abs(d[i8]) < 5e-3 for d in res.values()):
+        failed.append("low-ell not preserved")
+    # suppression present at small scales (theta_ej >= 4)
+    if not (res[4.0][i96] < -2e-3 and res[8.0][i96] < -2e-3):
+        failed.append("no small-scale suppression")
+    # monotone in theta_ej at ell=96 (larger ejection -> deeper)
+    if not (res[8.0][i96] < res[4.0][i96] < res[2.0][i96]):
+        failed.append("theta_ej ordering broken")
+    # monotone in ell for theta_ej=8 (deeper toward small scales)
+    d8 = res[8.0]
+    if not (d8[i96] < d8[ELLS.index(48)] < d8[ELLS.index(16)] + 1e-4):
+        failed.append("ell ordering broken")
+
+    if failed:
+        print(f"REGRESSION: {failed}")
+        return 1
+    print("all dC_ell shape checks within tolerance")
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -34,6 +34,9 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_HERE))  # repo root, for the package
+if not os.environ.get("BENCH"):  # demos run on CPU
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
 
 # per-curve RMS tolerance (absolute, in the P_B/P_DMO ratio): ~1.5x the
 # values measured at commit time (0.019-0.026)
@@ -127,12 +130,20 @@ def fig2_rms(tags=None):
 
 
 def box_crosscheck(n_halo=40, L=100.0, n_grid=128, n_bins=36, seed=7,
-                   part_mass=4e10, table_samples=(20, 500), verbose=True):
+                   part_mass=4e10, table_samples=(20, 500), verbose=True,
+                   model_pair=None, cosmo=None, epsilon_max=20,
+                   table_kwargs=None, M_range=(13.0, 14.5)):
     """Run the real snapshot pipeline on a DMO-sampled mock box.
 
     Returns (k, S_measured, S_predicted) over the box's k bins. The
     comparison window should exclude the first few bins (mode-starved)
     and k above ~0.6 k_Nyquist (NGP gridding).
+
+    ``model_pair`` = (DMO_profile, DMB_profile) lets other profile
+    families reuse the harness (examples/12 runs it with Arico20 and an
+    Rdelta-sampled table); default is the S19 Fig-2 pair with TwoHalo
+    zeroed (the sampled particles follow the one-halo profile, so the
+    table must invert the same pair — Arico zeroes TwoHalo by default).
     """
     import jax
     import jax.numpy as jnp
@@ -144,31 +155,32 @@ def box_crosscheck(n_halo=40, L=100.0, n_grid=128, n_bins=36, seed=7,
     from baryonification_tpu.profiles import (DarkMatterOnly,
                                               DarkMatterBaryon, TwoHalo)
 
-    cosmo, bpar, Gas_S19, h = s19_fig2_config()
+    if model_pair is None:
+        cosmo, bpar, Gas_S19, h = s19_fig2_config()
+        zero2h = TwoHalo(**bpar) * 0
+        DMO = DarkMatterOnly(**bpar, twohalo=zero2h)
+        DMB = DarkMatterBaryon(**bpar, twohalo=zero2h,
+                               gas=Gas_S19(**bpar))
+    else:
+        DMO, DMB = model_pair
+        assert cosmo is not None, "pass cosmo with model_pair"
     cd = dict(cosmo.cosmodict)
 
-    # one-halo-only model pair: the sampled particles follow the DMO
-    # one-halo profile, so the displacement table must invert the same
-    # pair (TwoHalo zeroed via profile algebra, as Arico does by default)
-    zero2h = TwoHalo(**bpar) * 0
-    DMO = DarkMatterOnly(**bpar, twohalo=zero2h)
-    DMB = DarkMatterBaryon(**bpar, twohalo=zero2h, gas=Gas_S19(**bpar))
-
     t0 = time.time()
-    disp = Baryonification3D(DMO, DMB, cosmo, epsilon_max=20)
-    disp.setup_interpolator(z_min=0.0, z_max=0.01, N_samples_z=2,
-                            z_linear_sampling=True,
-                            M_min=1e12, M_max=1e16,
-                            N_samples_Mass=table_samples[0],
-                            R_min=1e-4, R_max=300,
-                            N_samples_R=table_samples[1])
+    disp = Baryonification3D(DMO, DMB, cosmo, epsilon_max=epsilon_max)
+    tkw = dict(z_min=0.0, z_max=0.01, N_samples_z=2,
+               z_linear_sampling=True, M_min=1e12, M_max=1e16,
+               N_samples_Mass=table_samples[0],
+               R_min=1e-4, R_max=300, N_samples_R=table_samples[1])
+    tkw.update(table_kwargs or {})
+    disp.setup_interpolator(**tkw)
     if verbose:
         print(f"  displacement table: {time.time() - t0:.1f}s")
 
     # sample particles from the DMO enclosed-mass CDF around each halo
     rng = np.random.default_rng(seed)
     hx = rng.uniform(0, L, (n_halo, 3))
-    hM = 10 ** rng.uniform(13.0, 14.5, n_halo)
+    hM = 10 ** rng.uniform(M_range[0], M_range[1], n_halo)
     r_s = np.geomspace(1e-3, 60, 2048)
     with jax.default_device(jax.devices("cpu")[0]):
         rho_all = np.clip(np.asarray(DMO.real(cosmo, r_s, hM, 1.0)), 0,
@@ -196,7 +208,8 @@ def box_crosscheck(n_halo=40, L=100.0, n_grid=128, n_bins=36, seed=7,
     # the CDF-level comparison needs the f64 displacement path: pin to
     # the host CPU backend (a mock this small gains nothing from TPU)
     with jax.default_device(jax.devices("cpu")[0]):
-        new_cat = BaryonifySnapshot(cat, snap, epsilon_max=20, model=disp,
+        new_cat = BaryonifySnapshot(cat, snap, epsilon_max=epsilon_max,
+                                    model=disp,
                                     precision="float64").process()
     if verbose:
         print(f"  BaryonifySnapshot: {time.time() - t0:.1f}s")
