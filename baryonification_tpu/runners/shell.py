@@ -223,7 +223,10 @@ class DefaultRunner:
         runner — the catalog is fixed per runner, so the spatial index
         is reusable across process() calls (the same amortization the
         reference gets from building its KDTree in __init__,
-        `SnapshotRunner.py:97`)."""
+        `SnapshotRunner.py:97`). ``sub`` may be a dict of sliced arrays
+        or a zero-arg callable producing one (evaluated on cache miss
+        only — slicing eight 1e6-element host arrays per bucket per
+        process() call costs ~1 s/run on a single-core host)."""
         cache = getattr(self, '_reg_cache', None)
         if cache is None:
             cache = {}
@@ -231,6 +234,8 @@ class DefaultRunner:
         key = (bi, nside_c, str(dt), cell_map is not None)
         if key not in cache:
             from . import shell_gather as sg
+            if callable(sub):
+                sub = sub()
             cache[key] = sg.coarse_halo_index(
                 nside_c, jnp.asarray(sub['theta'], dtype=dt),
                 jnp.asarray(sub['phi'], dtype=dt),
@@ -240,7 +245,7 @@ class DefaultRunner:
 
     def _dense_candidates(self, bi, nside_c, sub, dt, r_b):
         """Dense NESTED-cell candidate matrix for the cell-major pass,
-        cached per bucket like the registration."""
+        cached per bucket like the registration (``sub`` as above)."""
         cache = getattr(self, '_dense_cache', None)
         if cache is None:
             cache = {}
@@ -260,6 +265,24 @@ class DefaultRunner:
             cache[key] = (dense, counts, K)
         return cache[key]
 
+    def _cm_groups(self, arrs, nside, nsc_min):
+        """Cell-major bucket grouping + per-group metadata, cached per
+        catalog: (nside_c, device halo ids, r_b, R_com max). Steady-state
+        process() calls then do no per-bucket host slicing at all."""
+        cache = getattr(self, '_groups_cache', None)
+        if cache is None:
+            cache = {}
+            self._groups_cache = cache
+        key = (nside, nsc_min)
+        if key not in cache:
+            groups = _buckets_by_nsidec(arrs['radius'], nside, nsc_min)
+            cache[key] = [
+                (nsc, idx, jnp.asarray(idx, dtype=jnp.int32),
+                 float(arrs['radius'][idx].max()),
+                 float(arrs['R_com'][idx].max()))
+                for nsc, idx in groups]
+        return cache[key]
+
     def _cell_map_nested(self, nside_c):
         """(nc,) RING -> NESTED cell-id lookup, cached."""
         cache = getattr(self, '_cmap_cache', None)
@@ -274,12 +297,14 @@ class DefaultRunner:
 
     def _nested_maps(self, nside):
         """(N2R, R2N) permutations: nested position -> ring pixel id,
-        and ring position -> nested pixel id. Cached."""
+        and ring position -> nested pixel id. Cached. Built on-device
+        (exact int32 bit arithmetic) — the numpy versions cost ~30 s
+        each at NSIDE 1024 on a single host core."""
         if getattr(self, '_nest_maps', None) is None:
-            n2r = hpx.nest2ring(nside, np.arange(hpx.npix(nside)))
-            r2n = hpx.ring2nest(nside, np.arange(hpx.npix(nside)))
-            self._nest_maps = (jnp.asarray(n2r, dtype=jnp.int32),
-                               jnp.asarray(r2n, dtype=jnp.int32))
+            n2r = hpx.nest2ring_all(nside)
+            r2n = jnp.zeros((hpx.npix(nside),), dtype=jnp.int32).at[
+                n2r].set(jnp.arange(hpx.npix(nside), dtype=jnp.int32))
+            self._nest_maps = (n2r, r2n)
         return self._nest_maps
 
     def _ring_tables(self, nside, dt):
@@ -289,8 +314,10 @@ class DefaultRunner:
             self._rt_cache = cache
         key = str(dt)
         if key not in cache:
-            cache[key] = (hpx.RingTables(nside, dtype=dt),
-                          hpx.pixel_vectors_soa(nside, dtype=dt))
+            rt = hpx.RingTables(nside, dtype=dt)
+            planes = hpx.pixel_planes_device(nside, rt.z, rt.start,
+                                             rt.npr, rt.shift)
+            cache[key] = (rt, planes)
         return cache[key]
 
     def _packed_records(self, arrs, dt):
@@ -316,7 +343,9 @@ class DefaultRunner:
         return cache[key]
 
     def _pixels_nested(self, nside, dt):
-        """Nested-order pixel unit-vector planes, cached per dtype."""
+        """Nested-order pixel unit-vector planes, cached per dtype.
+        Built entirely on device (ring-table lookup + trig at NESTED
+        ids) — no 150 MB host->device transfer."""
         cache = getattr(self, '_pixn_cache', None)
         if cache is None:
             cache = {}
@@ -324,8 +353,9 @@ class DefaultRunner:
         key = str(dt)
         if key not in cache:
             n2r, _ = self._nested_maps(nside)
-            vx, vy, vz = hpx.pixel_vectors_soa(nside, dtype=dt)
-            cache[key] = (vx[n2r], vy[n2r], vz[n2r])
+            rt, _ = self._ring_tables(nside, dt)
+            cache[key] = hpx.pixel_planes_device(nside, rt.z, rt.start,
+                                                 rt.npr, rt.shift, p=n2r)
         return cache[key]
 
     # ----- mesh (multi-device) helpers -----
@@ -403,7 +433,7 @@ class DefaultRunner:
         if getattr(self, '_cache_cat', None) is not self.HaloLightConeCatalog:
             for attr in ('_halo_arrays_cache', '_packed_cache',
                          '_reg_cache', '_dense_cache',
-                         '_dense_mesh_cache'):
+                         '_dense_mesh_cache', '_groups_cache'):
                 if hasattr(self, attr):
                     delattr(self, attr)
             self._cache_cat = self.HaloLightConeCatalog
@@ -424,9 +454,15 @@ class DefaultRunner:
     def _halo_arrays_impl(self, cosmo):
         cat = self.HaloLightConeCatalog.cat
         a = 1.0 / (1.0 + cat['z'])
-        theta, phi = np.asarray(hpx.radec2ang(cat['ra'], cat['dec']))
-        R_phys = np.asarray(self.mass_def.get_radius(cosmo, cat['M'], a))
-        D = np.asarray(cosmo.angular_diameter_distance(a))
+        # f64 preprocessing belongs on the host: eagerly dispatching
+        # 1e6-halo f64 ops to a remote accelerator costs minutes of
+        # tunnel round-trips (measured 270 s at the bench scale) vs ~2 s
+        # on the CPU backend
+        with jax.default_device(jax.devices("cpu")[0]):
+            theta, phi = np.asarray(hpx.radec2ang(cat['ra'], cat['dec']))
+            R_phys = np.asarray(self.mass_def.get_radius(cosmo, cat['M'],
+                                                         a))
+            D = np.asarray(cosmo.angular_diameter_distance(a))
         radius = self.epsilon_max * R_phys / D
         p_keys = getattr(self.model, 'p_keys', []) or []
         props = (np.stack([cat[k] for k in p_keys], axis=-1)
@@ -696,28 +732,23 @@ class BaryonifyShell(DefaultRunner):
                     nsc_min = 1
                     vxn, vyn, vzn = self._pixels_nested(nside, dt)
                     off_nested = (zeros, zeros, zeros)
-            groups = (_buckets_by_nsidec(arrs['radius'], nside, nsc_min)
-                      if self.method == "cellmajor"
-                      else [(None, i) for i in buckets])
-            for bi, (nsc, idx) in enumerate(groups):
-                sub = {k: v[idx] for k, v in arrs.items()}
-                r_b = float(sub['radius'].max())
-                if self.method == "cellmajor":
-                    jidx = jnp.asarray(idx, dtype=jnp.int32)
-                    nside_c = nsc
+            if self.method == "cellmajor":
+                for bi, (nside_c, idx, jidx, r_b, rcm_max) in enumerate(
+                        self._cm_groups(arrs, nside, nsc_min)):
+                    lazy_sub = lambda idx=idx: {k: v[idx]
+                                                for k, v in arrs.items()}
                     F = (nside // nside_c) ** 2
                     C_blk = self._cell_chunk(nside_c, F, n_dev=n_dev)
                     g2 = np.asarray(model._grids[2])
                     rad_max = (np.log(self.epsilon_max) if use_rdelta
-                               else np.log(self.epsilon_max
-                                           * sub['R_com'].max()))
+                               else np.log(self.epsilon_max * rcm_max))
                     n_hi = self._node_bound(g2, rad_max, len(g2))
                     if self.mesh is not None:
                         dense2d, counts, K = self._dense_candidates_sharded(
-                            bi, nside_c, sub, dt, r_b)
+                            bi, nside_c, lazy_sub, dt, r_b)
                         if self.verbose:
-                            print(f"Baryonifying matter: bucket {bi + 1}/"
-                                  f"{len(groups)} ({len(idx)} halos, "
+                            print(f"Baryonifying matter: bucket {bi + 1} "
+                                  f"({len(idx)} halos, "
                                   f"nside_c={nside_c}, K={K}, F={F}, "
                                   f"C={C_blk}, n_hi={n_hi}, "
                                   f"mesh x{n_dev})")
@@ -728,10 +759,10 @@ class BaryonifyShell(DefaultRunner):
                             grids[2], float(self.epsilon_max), off_nested)
                         continue
                     dense, counts, K = self._dense_candidates(
-                        bi, nside_c, sub, dt, r_b)
+                        bi, nside_c, lazy_sub, dt, r_b)
                     if self.verbose:
-                        print(f"Baryonifying matter: bucket {bi + 1}/"
-                              f"{len(groups)} ({len(idx)} halos, "
+                        print(f"Baryonifying matter: bucket {bi + 1} "
+                              f"({len(idx)} halos, "
                               f"nside_c={nside_c}, K={K}, F={F}, "
                               f"C={C_blk}, n_hi={n_hi})")
                     off_nested = cm.cellmajor_offsets_pass(
@@ -739,7 +770,11 @@ class BaryonifyShell(DefaultRunner):
                         dense, counts, packed_all[jidx],
                         grids[0], grids[1], table, grids[2],
                         float(self.epsilon_max), *off_nested)
-                    continue
+            groups = ([] if self.method == "cellmajor"
+                      else [(None, i) for i in buckets])
+            for bi, (nsc, idx) in enumerate(groups):
+                sub = {k: v[idx] for k, v in arrs.items()}
+                r_b = float(sub['radius'].max())
                 if self.method == "gather":
                     jidx = jnp.asarray(idx, dtype=jnp.int32)
                     nside_c = sg.pick_coarse_nside(r_b, nside)
@@ -881,27 +916,22 @@ class PaintProfilesShell(DefaultRunner):
                     nsc_min = 1
                     vxn, vyn, vzn = self._pixels_nested(nside, dt)
                     map_nested = jnp.zeros((hpx.npix(nside),), dtype=dt)
-            groups = (_buckets_by_nsidec(arrs['radius'], nside, nsc_min)
-                      if self.method == "cellmajor"
-                      else [(None, i) for i in buckets])
-            for bi, (nsc, idx) in enumerate(groups):
-                sub = {k: v[idx] for k, v in arrs.items()}
-                r_b = float(sub['radius'].max())
-                if self.method == "cellmajor":
-                    jidx = jnp.asarray(idx, dtype=jnp.int32)
-                    nside_c = nsc
+            if self.method == "cellmajor":
+                for bi, (nside_c, idx, jidx, r_b, rcm_max) in enumerate(
+                        self._cm_groups(arrs, nside, nsc_min)):
+                    lazy_sub = lambda idx=idx: {k: v[idx]
+                                                for k, v in arrs.items()}
                     F = (nside // nside_c) ** 2
                     C_blk = self._cell_chunk(nside_c, F, n_dev=n_dev)
                     g2 = np.asarray(model._grids[2])
-                    rad_max = np.log(self.epsilon_max
-                                     * sub['R_com'].max())
+                    rad_max = np.log(self.epsilon_max * rcm_max)
                     n_hi = self._node_bound(g2, rad_max, len(g2))
                     if self.mesh is not None:
                         dense2d, counts, K = self._dense_candidates_sharded(
-                            bi, nside_c, sub, dt, r_b)
+                            bi, nside_c, lazy_sub, dt, r_b)
                         if self.verbose:
-                            print(f"Painting Profile: bucket {bi + 1}/"
-                                  f"{len(groups)} ({len(idx)} halos, "
+                            print(f"Painting Profile: bucket {bi + 1} "
+                                  f"({len(idx)} halos, "
                                   f"nside_c={nside_c}, K={K}, F={F}, "
                                   f"C={C_blk}, n_hi={n_hi}, "
                                   f"mesh x{n_dev})")
@@ -912,17 +942,21 @@ class PaintProfilesShell(DefaultRunner):
                             grids[2], float(self.epsilon_max), map_nested)
                         continue
                     dense, counts, K = self._dense_candidates(
-                        bi, nside_c, sub, dt, r_b)
+                        bi, nside_c, lazy_sub, dt, r_b)
                     if self.verbose:
-                        print(f"Painting Profile: bucket {bi + 1}/"
-                              f"{len(groups)} ({len(idx)} halos, "
+                        print(f"Painting Profile: bucket {bi + 1} "
+                              f"({len(idx)} halos, "
                               f"nside_c={nside_c}, K={K}, F={F}, "
                               f"C={C_blk}, n_hi={n_hi})")
                     map_nested = cm.cellmajor_paint_pass(
                         F, C_blk, n_hi, vxn, vyn, vzn, dense, counts,
                         packed_all[jidx], grids[0], grids[1], table,
                         grids[2], float(self.epsilon_max), map_nested)
-                    continue
+            groups = ([] if self.method == "cellmajor"
+                      else [(None, i) for i in buckets])
+            for bi, (nsc, idx) in enumerate(groups):
+                sub = {k: v[idx] for k, v in arrs.items()}
+                r_b = float(sub['radius'].max())
                 if self.method == "gather":
                     jidx = jnp.asarray(idx, dtype=jnp.int32)
                     nside_c = sg.pick_coarse_nside(r_b, nside)
