@@ -178,6 +178,32 @@ class DefaultRunner:
                 "use_ellipticity = True is not implemented for the "
                 "curved-sky runner (parity with HealpixRunner.py:164).")
 
+    # ----- stage profiling -----
+    def _stage(self, label, t0, sync=None):
+        """Record a wall-clock stage time when ``self.profile`` is set.
+
+        ``sync`` forces completion of the stage's device work through a
+        scalar readback (block_until_ready is not a reliable barrier on
+        remote-TPU platforms — see CLAUDE.md). Results accumulate in
+        ``self.stage_times`` as (label, seconds); profiling serializes
+        the normally-async pipeline, so the per-stage sum exceeds the
+        unprofiled wall time — use it for attribution, not as the
+        headline number."""
+        if not getattr(self, 'profile', False):
+            return
+        import time as _time
+        if sync is not None:
+            float(jnp.sum(sync))
+        self.stage_times.append((label, _time.perf_counter() - t0))
+
+    def _stage_t0(self):
+        if not getattr(self, 'profile', False):
+            return 0.0
+        if not hasattr(self, 'stage_times'):
+            self.stage_times = []
+        import time as _time
+        return _time.perf_counter()
+
     def build_Rmat(self, A, ref):
         """2x2 rotation aligning A with ref (API parity with the
         reference's unused ellipticity helper, `HealpixRunner.py:168-197`).
@@ -245,7 +271,14 @@ class DefaultRunner:
 
     def _dense_candidates(self, bi, nside_c, sub, dt, r_b):
         """Dense NESTED-cell candidate matrix for the cell-major pass,
-        cached per bucket like the registration (``sub`` as above)."""
+        cached per bucket like the registration (``sub`` as above).
+
+        Returns (dense, counts, K, nside_c_eff): when profitable, the
+        candidate lists are REFINED one or more levels below the
+        registration level (see shell_cellmajor.refine_cell_candidates)
+        — the pass's work is npix * K, and K carries a ~2x inflation
+        from the conservative registration margin at the natural level,
+        which each refinement level roughly halves."""
         cache = getattr(self, '_dense_cache', None)
         if cache is None:
             cache = {}
@@ -253,16 +286,60 @@ class DefaultRunner:
         key = (bi, nside_c, str(dt))
         if key not in cache:
             from . import shell_cellmajor as cm
+            from .shell_gather import MARGIN
+            if callable(sub):
+                sub = sub()
             hids, cell_start, K = self._bucket_registration(
                 bi, nside_c, sub, dt, r_b,
                 cell_map=self._cell_map_nested(nside_c))
             # generous rounding: K_pad only sets the dense-matrix SHAPE
             # (the slot loop runs to the chunk-local max count), so a
             # coarse ladder buys compile sharing across buckets for free
+            K = int(K)
             K_pad = max(64, -(-K // 64) * 64)
             dense, counts = cm.dense_cell_candidates(
                 hpx.npix(nside_c), K_pad, hids, cell_start)
-            cache[key] = (dense, counts, K)
+            nside = self.LightconeShell.NSIDE
+            nsc = nside_c
+            # refine while K is margin-dominated, the child level stays
+            # within the validated margin range (<= 512), and enough
+            # pixels per cell remain to amortize the per-slot blend
+            # (refine_k_min is overridable, mainly so small-scale tests
+            # can force the refined path)
+            k_min = getattr(self, 'refine_k_min', 48)
+            while (K >= k_min and 2 * nsc <= 512 and 2 * nsc <= nside
+                   and (nside // (2 * nsc)) ** 2 >= 64):
+                nsc *= 2
+                cvx, cvy, cvz = self._cell_centers_nested(nsc, dt)
+                th = jnp.asarray(sub['theta'], dtype=dt)
+                ph = jnp.asarray(sub['phi'], dtype=dt)
+                st = jnp.sin(th)
+                reach = (jnp.asarray(sub['radius'], dtype=dt)
+                         + dt.type(MARGIN * hpx.nside2resol(nsc)))
+                dense2d, counts, K_dev = cm.refine_cell_candidates(
+                    hpx.npix(nsc), dense, counts, cvx, cvy, cvz,
+                    st * jnp.cos(ph), st * jnp.sin(ph), jnp.cos(th),
+                    jnp.cos(reach))
+                K = int(K_dev)
+                K_pad = max(64, -(-K // 64) * 64)
+                dense = dense2d[:, :min(K_pad,
+                                        dense2d.shape[1])].reshape(-1)
+            cache[key] = (dense, counts, K, nsc)
+        return cache[key]
+
+    def _cell_centers_nested(self, nside_c, dt):
+        """NESTED-order cell-center unit-vector planes at an arbitrary
+        (coarse) nside, device-built and cached."""
+        cache = getattr(self, '_ctr_cache', None)
+        if cache is None:
+            cache = {}
+            self._ctr_cache = cache
+        key = (nside_c, str(dt))
+        if key not in cache:
+            rt = hpx.RingTables(nside_c, dtype=dt)
+            n2r = hpx.nest2ring_all(nside_c)
+            cache[key] = hpx.pixel_planes_device(nside_c, rt.z, rt.start,
+                                                 rt.npr, rt.shift, p=n2r)
         return cache[key]
 
     def _cm_groups(self, arrs, nside, nsc_min):
@@ -282,6 +359,23 @@ class DefaultRunner:
                  float(arrs['R_com'][idx].max()))
                 for nsc, idx in groups]
         return cache[key]
+
+    def _orig_map_nested(self, orig_map, n2r, dt):
+        """Device-resident NESTED-order copy of the shell's mass map,
+        cached on the runner. Parameter sweeps (the production use case:
+        many baryonify passes over ONE shell with different models)
+        otherwise re-pay a 50 MB host->device transfer per process()
+        call (~2 s through a tunnel at NSIDE 1024). The cache keys on
+        the map object's identity + total mass, so an in-place edit of
+        the same array invalidates it."""
+        key = (id(self.LightconeShell.map), str(dt), orig_map.shape[0],
+               float(orig_map.sum()))
+        cache = getattr(self, '_omap_cache', None)
+        if cache is None or cache[0] != key:
+            # convert on host first: halves the transfer for the f32 path
+            host = np.ascontiguousarray(orig_map, dtype=np.dtype(dt))
+            self._omap_cache = (key, jnp.asarray(host)[n2r])
+        return self._omap_cache[1]
 
     def _cell_map_nested(self, nside_c):
         """(nc,) RING -> NESTED cell-id lookup, cached."""
@@ -391,12 +485,15 @@ class DefaultRunner:
             self._dense_mesh_cache = cache
         key = (bi, nside_c, str(dt))
         if key not in cache:
-            dense, counts, K = self._dense_candidates(bi, nside_c, sub,
-                                                      dt, r_b)
+            # refinement (nsc_eff > nside_c) keeps contiguous NESTED
+            # child blocks aligned with the parent shards, so the same
+            # cells-axis sharding applies at the refined level
+            dense, counts, K, nsc_eff = self._dense_candidates(
+                bi, nside_c, sub, dt, r_b)
             ncell = counts.shape[0]
             sh = self._pixel_sharding()
             cache[key] = (jax.device_put(dense.reshape(ncell, -1), sh),
-                          jax.device_put(counts, sh), K)
+                          jax.device_put(counts, sh), K, nsc_eff)
         return cache[key]
 
     @staticmethod
@@ -671,7 +768,9 @@ class BaryonifyShell(DefaultRunner):
         nside = self.LightconeShell.NSIDE
         orig_map = np.asarray(self.LightconeShell.map, dtype=np.float64)
 
+        t0 = self._stage_t0()
         arrs = self._halo_arrays(cosmo)
+        self._stage("halo_arrays", t0)
         p_keys = getattr(model, 'p_keys', []) or []
         n_props = len(p_keys)
         use_rdelta = bool(getattr(model, 'Rdelta_sampling', False))
@@ -715,7 +814,9 @@ class BaryonifyShell(DefaultRunner):
                 float(jnp.sum(prof_all[:, 0]))
             if self.method == "cellmajor":
                 from . import shell_cellmajor as cm
+                t0 = self._stage_t0()
                 packed_all = self._packed_records(arrs, dt)
+                self._stage("packed_records", t0, packed_all)
                 n_dev = self._n_mesh_devices
                 if self.mesh is not None:
                     from ..parallel import (mesh_offsets_bucket,
@@ -730,27 +831,30 @@ class BaryonifyShell(DefaultRunner):
                                        for z in (zeros, zeros, zeros))
                 else:
                     nsc_min = 1
+                    t0 = self._stage_t0()
                     vxn, vyn, vzn = self._pixels_nested(nside, dt)
+                    self._stage("pixels_nested", t0, vzn)
                     off_nested = (zeros, zeros, zeros)
             if self.method == "cellmajor":
                 for bi, (nside_c, idx, jidx, r_b, rcm_max) in enumerate(
                         self._cm_groups(arrs, nside, nsc_min)):
                     lazy_sub = lambda idx=idx: {k: v[idx]
                                                 for k, v in arrs.items()}
-                    F = (nside // nside_c) ** 2
-                    C_blk = self._cell_chunk(nside_c, F, n_dev=n_dev)
                     g2 = np.asarray(model._grids[2])
                     rad_max = (np.log(self.epsilon_max) if use_rdelta
                                else np.log(self.epsilon_max * rcm_max))
                     n_hi = self._node_bound(g2, rad_max, len(g2))
                     if self.mesh is not None:
-                        dense2d, counts, K = self._dense_candidates_sharded(
+                        (dense2d, counts, K,
+                         nsc_eff) = self._dense_candidates_sharded(
                             bi, nside_c, lazy_sub, dt, r_b)
+                        F = (nside // nsc_eff) ** 2
+                        C_blk = self._cell_chunk(nsc_eff, F, n_dev=n_dev)
                         if self.verbose:
                             print(f"Baryonifying matter: bucket {bi + 1} "
                                   f"({len(idx)} halos, "
-                                  f"nside_c={nside_c}, K={K}, F={F}, "
-                                  f"C={C_blk}, n_hi={n_hi}, "
+                                  f"nside_c={nside_c}->{nsc_eff}, K={K}, "
+                                  f"F={F}, C={C_blk}, n_hi={n_hi}, "
                                   f"mesh x{n_dev})")
                         off_nested = mesh_offsets_bucket(
                             self.mesh, self.mesh_axis, use_rdelta, F,
@@ -758,18 +862,26 @@ class BaryonifyShell(DefaultRunner):
                             packed_all[jidx], grids[0], grids[1], table,
                             grids[2], float(self.epsilon_max), off_nested)
                         continue
-                    dense, counts, K = self._dense_candidates(
+                    t0 = self._stage_t0()
+                    dense, counts, K, nsc_eff = self._dense_candidates(
                         bi, nside_c, lazy_sub, dt, r_b)
+                    self._stage(f"reg[b{bi} nc{nside_c} "
+                                f"H{len(idx)}]", t0, counts)
+                    F = (nside // nsc_eff) ** 2
+                    C_blk = self._cell_chunk(nsc_eff, F, n_dev=n_dev)
                     if self.verbose:
                         print(f"Baryonifying matter: bucket {bi + 1} "
                               f"({len(idx)} halos, "
-                              f"nside_c={nside_c}, K={K}, F={F}, "
-                              f"C={C_blk}, n_hi={n_hi})")
+                              f"nside_c={nside_c}->{nsc_eff}, K={K}, "
+                              f"F={F}, C={C_blk}, n_hi={n_hi})")
+                    t0 = self._stage_t0()
                     off_nested = cm.cellmajor_offsets_pass(
                         use_rdelta, F, C_blk, n_hi, vxn, vyn, vzn,
                         dense, counts, packed_all[jidx],
                         grids[0], grids[1], table, grids[2],
                         float(self.epsilon_max), *off_nested)
+                    self._stage(f"pass[b{bi} nc{nsc_eff} K{K} "
+                                f"n_hi{n_hi}]", t0, off_nested[0])
             groups = ([] if self.method == "cellmajor"
                       else [(None, i) for i in buckets])
             for bi, (nsc, idx) in enumerate(groups):
@@ -820,8 +932,9 @@ class BaryonifyShell(DefaultRunner):
                 # offset, mass) triples — run it directly in NESTED order
                 # (one mass gather instead of three offset gathers); the
                 # scatter targets are RING ids either way
+                t0 = self._stage_t0()
                 n2r, _ = self._nested_maps(nside)
-                omap_n = jnp.asarray(orig_map, dtype=dt)[n2r]
+                omap_n = self._orig_map_nested(orig_map, n2r, dt)
                 if self.mesh is not None:
                     from ..parallel import mesh_regrid_shell
                     omap_n = jax.device_put(omap_n, self._pixel_sharding())
@@ -831,11 +944,14 @@ class BaryonifyShell(DefaultRunner):
                 else:
                     new_map = _regrid_shell(nside, tables, vxn, vyn, vzn,
                                             omap_n, off_nested)
+                self._stage("regrid", t0, new_map)
             else:
                 new_map = _regrid_shell(nside, tables, vx, vy, vz,
                                         jnp.asarray(orig_map, dtype=dt),
                                         offsets)
+        t0 = self._stage_t0()
         new_map = np.asarray(new_map, dtype=np.float64)
+        self._stage("fetch_map", t0)
 
         new_sum, old_sum = new_map.sum(), orig_map.sum()
         assert np.isclose(new_sum, old_sum), (
@@ -921,19 +1037,20 @@ class PaintProfilesShell(DefaultRunner):
                         self._cm_groups(arrs, nside, nsc_min)):
                     lazy_sub = lambda idx=idx: {k: v[idx]
                                                 for k, v in arrs.items()}
-                    F = (nside // nside_c) ** 2
-                    C_blk = self._cell_chunk(nside_c, F, n_dev=n_dev)
                     g2 = np.asarray(model._grids[2])
                     rad_max = np.log(self.epsilon_max * rcm_max)
                     n_hi = self._node_bound(g2, rad_max, len(g2))
                     if self.mesh is not None:
-                        dense2d, counts, K = self._dense_candidates_sharded(
+                        (dense2d, counts, K,
+                         nsc_eff) = self._dense_candidates_sharded(
                             bi, nside_c, lazy_sub, dt, r_b)
+                        F = (nside // nsc_eff) ** 2
+                        C_blk = self._cell_chunk(nsc_eff, F, n_dev=n_dev)
                         if self.verbose:
                             print(f"Painting Profile: bucket {bi + 1} "
                                   f"({len(idx)} halos, "
-                                  f"nside_c={nside_c}, K={K}, F={F}, "
-                                  f"C={C_blk}, n_hi={n_hi}, "
+                                  f"nside_c={nside_c}->{nsc_eff}, K={K}, "
+                                  f"F={F}, C={C_blk}, n_hi={n_hi}, "
                                   f"mesh x{n_dev})")
                         map_nested = mesh_paint_bucket(
                             self.mesh, self.mesh_axis, F, C_blk, n_hi,
@@ -941,13 +1058,15 @@ class PaintProfilesShell(DefaultRunner):
                             packed_all[jidx], grids[0], grids[1], table,
                             grids[2], float(self.epsilon_max), map_nested)
                         continue
-                    dense, counts, K = self._dense_candidates(
+                    dense, counts, K, nsc_eff = self._dense_candidates(
                         bi, nside_c, lazy_sub, dt, r_b)
+                    F = (nside // nsc_eff) ** 2
+                    C_blk = self._cell_chunk(nsc_eff, F, n_dev=n_dev)
                     if self.verbose:
                         print(f"Painting Profile: bucket {bi + 1} "
                               f"({len(idx)} halos, "
-                              f"nside_c={nside_c}, K={K}, F={F}, "
-                              f"C={C_blk}, n_hi={n_hi})")
+                              f"nside_c={nside_c}->{nsc_eff}, K={K}, "
+                              f"F={F}, C={C_blk}, n_hi={n_hi})")
                     map_nested = cm.cellmajor_paint_pass(
                         F, C_blk, n_hi, vxn, vyn, vzn, dense, counts,
                         packed_all[jidx], grids[0], grids[1], table,

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["pack_halo_records", "dense_cell_candidates",
+           "refine_cell_candidates",
            "cellmajor_offsets_pass", "cellmajor_paint_pass"]
 
 
@@ -55,6 +56,49 @@ def dense_cell_candidates(nc, K_pad, hids_sorted, cell_start):
     src = jnp.minimum(cell_start[:-1][:, None] + k, reg_len - 1)
     dense = jnp.where(k < counts[:, None], hids_sorted[src], 0)
     return dense.reshape(-1), counts.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("nc_child",))
+def refine_cell_candidates(nc_child, dense_parent, counts_parent,
+                           cvx, cvy, cvz, hvx, hvy, hvz, cos_reach):
+    """Split NESTED cells 2x finer and re-filter each parent cell's
+    candidate list against the child-cell geometry.
+
+    The coarse registration adds MARGIN (1.15) cell resolutions to the
+    halo radius so that every fine pixel inside a cell finds every halo
+    that can reach it. At the natural bucket level the cell size ~ the
+    halo radius, so the margin inflates the search area (and therefore
+    K, which the pass's work is directly proportional to) by ~2x. One
+    refinement level keeps the same conservative guarantee — candidate
+    kept iff dist(child center, halo) <= r_halo + MARGIN * resol(child)
+    (``cos_reach`` = cos of that reach, per halo) — with half the
+    margin, roughly halving K. The child candidate set stays a SUPERSET
+    of the reachable halos (max center-to-point distance measured
+    <= 1.01 resol through nside 512), so pass semantics are unchanged.
+
+    dense_parent : (nc_parent * K_pad,) NESTED-cell candidate ids
+    counts_parent: (nc_parent,)
+    cv* : (nc_child,) child cell-center unit-vector planes, NESTED order
+    hv* : (H,) halo unit-vector planes
+    Returns (dense_child (nc_child, K_pad) — crop columns to the new
+    ladder on the host, counts_child, per-row valid max for K).
+    """
+    nc_parent = nc_child // 4
+    K_pad = dense_parent.shape[0] // nc_parent
+    hid = jnp.repeat(dense_parent.reshape(nc_parent, K_pad), 4, axis=0)
+    cnt = jnp.repeat(counts_parent, 4)
+    k = jnp.arange(K_pad, dtype=jnp.int32)[None, :]
+    flat = hid.reshape(-1)
+    dot = (cvx[:, None] * hvx[flat].reshape(nc_child, K_pad)
+           + cvy[:, None] * hvy[flat].reshape(nc_child, K_pad)
+           + cvz[:, None] * hvz[flat].reshape(nc_child, K_pad))
+    ok = (k < cnt[:, None]) & (dot >= cos_reach[flat].reshape(nc_child,
+                                                             K_pad))
+    # stable compaction: valid slots first, original slot order kept
+    keys = jnp.where(ok, k, K_pad + k)
+    _, hid_s = jax.lax.sort((keys, hid), num_keys=1)
+    counts_child = jnp.sum(ok, axis=1).astype(jnp.int32)
+    return hid_s, counts_child, jnp.max(counts_child)
 
 
 def _blend_rows(packed_k, gz, gM, base_table):

@@ -37,6 +37,12 @@ from ..ops.interp import blend_table_radial
 __all__ = ["coarse_halo_index", "blend_halo_profiles",
            "gather_offsets_pass", "gather_paint_pass"]
 
+# conservative cell-reach margin, in units of the mean cell resolution:
+# the max distance from a HEALPix cell center to any point of the cell
+# is <= ~1.01 resol (measured numerically through nside 512 with 16x
+# sub-pixel sampling; see coarse_halo_index)
+MARGIN = 1.15
+
 
 def pick_coarse_nside(radius_max, nside):
     """Coarse grid with cell size ~ the bucket's max disc radius."""
@@ -97,7 +103,6 @@ def coarse_halo_index(nside_c, theta, phi, radius, dtype=jnp.float32,
     cell. Pass ``r_max`` (host float, max of ``radius``) to avoid a
     device sync when sizing the search window.
     """
-    MARGIN = 1.15
     resol_c = hpx.nside2resol(nside_c)
     radius_reg = radius + MARGIN * resol_c
 

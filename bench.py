@@ -78,20 +78,34 @@ def main():
 
     runner = BaryonifyShell(cat, shell, epsilon_max=eps_max, model=model,
                             verbose=False)
+    profile = os.environ.get("BENCH_PROFILE", "") not in ("", "0")
+    if profile:
+        # per-stage wall times with a device sync after each stage
+        # (serializes the async pipeline: attribution, not the headline)
+        runner.profile = True
+
+    def dump_stages(tag):
+        if not profile:
+            return
+        for label, dt_s in runner.stage_times:
+            print(f"#   {tag} {label}: {dt_s:.2f}s", file=sys.stderr)
+        runner.stage_times = []
 
     # warm-up (compile)
     t0 = time.time()
     runner.process()
     print(f"# warm-up (incl. compile): {time.time() - t0:.1f}s",
           file=sys.stderr)
+    dump_stages("warm")
 
     # timed steady-state runs (min over repeats: the host<->device tunnel
     # adds +/- 1-2 s of transfer jitter per run)
     times = []
-    for _ in range(3):
+    for i in range(3):
         t0 = time.time()
         new_map = runner.process()
         times.append(time.time() - t0)
+        dump_stages(f"steady{i}")
     dt = min(times)
     print(f"# steady runs: {['%.2f' % t for t in times]}", file=sys.stderr)
 

@@ -192,6 +192,98 @@ class TestGatherScatterParity:
         np.testing.assert_allclose(m_cm, m_sc, atol=1e-6 * scale,
                                    rtol=1e-6)
 
+    def test_refine_candidates_superset(self):
+        """Refined child-cell candidate lists must remain supersets of
+        the halos that can reach ANY fine pixel in the child cell (the
+        correctness contract of refine_cell_candidates)."""
+        from baryonification_tpu.runners import shell_gather as sg
+        from baryonification_tpu.runners import shell_cellmajor as cm
+
+        nside, nsc_p, nsc_c = 64, 4, 8
+        rng = np.random.default_rng(3)
+        H = 40
+        theta = np.arccos(rng.uniform(-1, 1, H))
+        phi = rng.uniform(0, 2 * np.pi, H)
+        radius = rng.uniform(0.05, 0.25, H)
+
+        # parent registration in NESTED cell order (as the runner does)
+        cmap = jnp.asarray(hpx.ring2nest(nsc_p,
+                                         np.arange(hpx.npix(nsc_p))),
+                           dtype=jnp.int32)
+        hids, cell_start, K = sg.coarse_halo_index(
+            nsc_p, jnp.asarray(theta), jnp.asarray(phi),
+            jnp.asarray(radius), dtype=jnp.float64,
+            r_max=float(radius.max()), cell_map=cmap)
+        K_pad = max(64, -(-int(K) // 64) * 64)
+        dense, counts = cm.dense_cell_candidates(
+            hpx.npix(nsc_p), K_pad, hids, cell_start)
+
+        # child centers (NESTED) + reach
+        rt = hpx.RingTables(nsc_c, dtype=jnp.float64)
+        n2r_c = hpx.nest2ring_all(nsc_c)
+        cvx, cvy, cvz = hpx.pixel_planes_device(
+            nsc_c, rt.z, rt.start, rt.npr, rt.shift, p=n2r_c)
+        st = np.sin(theta)
+        hvx, hvy, hvz = (st * np.cos(phi), st * np.sin(phi),
+                         np.cos(theta))
+        reach = radius + sg.MARGIN * hpx.nside2resol(nsc_c)
+        dense_c, counts_c, K_c = cm.refine_cell_candidates(
+            hpx.npix(nsc_c), dense, counts, cvx, cvy, cvz,
+            jnp.asarray(hvx), jnp.asarray(hvy), jnp.asarray(hvz),
+            jnp.cos(jnp.asarray(reach)))
+        dense_c = np.asarray(dense_c)
+        counts_c = np.asarray(counts_c)
+
+        # brute force: fine pixels of each child cell vs every halo
+        f = nside // nsc_c
+        n2r_f = np.asarray(hpx.nest2ring_all(nside))
+        th_f, ph_f = map(np.asarray,
+                         hpx.pix2ang(nside, jnp.arange(hpx.npix(nside))))
+        stf = np.sin(th_f)
+        vf = np.stack([stf * np.cos(ph_f), stf * np.sin(ph_f),
+                       np.cos(th_f)], axis=-1)
+        hv = np.stack([hvx, hvy, hvz], axis=-1)
+        missing = 0
+        for c in range(hpx.npix(nsc_c)):
+            fine = vf[n2r_f[c * f * f:(c + 1) * f * f]]
+            # halos reaching any fine pixel center of this cell
+            reach_h = np.where(
+                (fine @ hv.T >= np.cos(radius)[None, :]).any(axis=0))[0]
+            listed = set(dense_c[c, :counts_c[c]].tolist())
+            missing += len(set(reach_h.tolist()) - listed)
+        assert missing == 0
+
+    def test_baryonify_cellmajor_refined_agrees(self, displ2d):
+        """End-to-end: candidate refinement (pass runs one level finer
+        than the registration) leaves the baryonified map unchanged vs
+        the scatter reference path."""
+        nside = 128
+        rng = np.random.default_rng(5)
+        n_halo = 30
+        ra = rng.uniform(0, 360, n_halo)
+        dec = np.degrees(np.arcsin(rng.uniform(-0.9, 0.9, n_halo)))
+        M = 10 ** rng.uniform(14.5, 14.95, n_halo)
+        z = rng.uniform(0.06, 0.15, n_halo)
+        cat = HaloLightConeCatalog(ra=ra, dec=dec, M=M, z=z,
+                                   cosmo=COSMO_DICT)
+        shell = LightconeShell(map=rng.uniform(0.5, 1.5,
+                                               hpx.npix(nside)),
+                               cosmo=COSMO_DICT)
+        m_sc = BaryonifyShell(cat, shell, epsilon_max=20, model=displ2d,
+                              method="scatter", verbose=False).process()
+        r_cm = BaryonifyShell(cat, shell, epsilon_max=20, model=displ2d,
+                              method="cellmajor", verbose=False)
+        r_cm.refine_k_min = 1      # force refinement at this small scale
+        m_cm = r_cm.process()
+        # confirm the refined path actually ran (some bucket refined)
+        assert any(nsc_eff > nsc_reg for (_, nsc_reg, _), (_, _, _, nsc_eff)
+                   in r_cm._dense_cache.items())
+        assert np.isclose(m_cm.sum(), shell.map.sum(), rtol=1e-8)
+        scale = np.abs(m_sc - shell.map).max()
+        assert scale > 0
+        np.testing.assert_allclose(m_cm, m_sc, atol=1e-6 * scale,
+                                   rtol=1e-6)
+
     def test_paint_methods_agree(self, shell_setup, cosmo):
         from baryonification_tpu.profiles import Gas
         from baryonification_tpu.tabulate import TabulatedProfile
