@@ -316,10 +316,12 @@ class DefaultRunner:
                 st = jnp.sin(th)
                 reach = (jnp.asarray(sub['radius'], dtype=dt)
                          + dt.type(MARGIN * hpx.nside2resol(nsc)))
+                zc = jnp.zeros_like(th)
+                hrec = jnp.stack([st * jnp.cos(ph), st * jnp.sin(ph),
+                                  jnp.cos(th), jnp.cos(reach),
+                                  zc, zc, zc, zc], axis=-1)
                 dense2d, counts, K_dev = cm.refine_cell_candidates(
-                    hpx.npix(nsc), dense, counts, cvx, cvy, cvz,
-                    st * jnp.cos(ph), st * jnp.sin(ph), jnp.cos(th),
-                    jnp.cos(reach))
+                    hpx.npix(nsc), dense, counts, cvx, cvy, cvz, hrec)
                 K = int(K_dev)
                 K_pad = max(64, -(-K // 64) * 64)
                 dense = dense2d[:, :min(K_pad,

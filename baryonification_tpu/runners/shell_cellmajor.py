@@ -60,7 +60,7 @@ def dense_cell_candidates(nc, K_pad, hids_sorted, cell_start):
 
 @partial(jax.jit, static_argnames=("nc_child",))
 def refine_cell_candidates(nc_child, dense_parent, counts_parent,
-                           cvx, cvy, cvz, hvx, hvy, hvz, cos_reach):
+                           cvx, cvy, cvz, hrec):
     """Split NESTED cells 2x finer and re-filter each parent cell's
     candidate list against the child-cell geometry.
 
@@ -79,7 +79,9 @@ def refine_cell_candidates(nc_child, dense_parent, counts_parent,
     dense_parent : (nc_parent * K_pad,) NESTED-cell candidate ids
     counts_parent: (nc_parent,)
     cv* : (nc_child,) child cell-center unit-vector planes, NESTED order
-    hv* : (H,) halo unit-vector planes
+    hrec : (H, 8) packed per-halo [vx, vy, vz, cos_reach, pad...] —
+           ONE row gather per slot (per-lane gathers of 4 separate
+           planes cost ~10 ns/element; rows stream)
     Returns (dense_child (nc_child, K_pad) — crop columns to the new
     ladder on the host, counts_child, per-row valid max for K).
     """
@@ -88,12 +90,11 @@ def refine_cell_candidates(nc_child, dense_parent, counts_parent,
     hid = jnp.repeat(dense_parent.reshape(nc_parent, K_pad), 4, axis=0)
     cnt = jnp.repeat(counts_parent, 4)
     k = jnp.arange(K_pad, dtype=jnp.int32)[None, :]
-    flat = hid.reshape(-1)
-    dot = (cvx[:, None] * hvx[flat].reshape(nc_child, K_pad)
-           + cvy[:, None] * hvy[flat].reshape(nc_child, K_pad)
-           + cvz[:, None] * hvz[flat].reshape(nc_child, K_pad))
-    ok = (k < cnt[:, None]) & (dot >= cos_reach[flat].reshape(nc_child,
-                                                             K_pad))
+    rec = hrec[hid.reshape(-1)]
+    dot = (cvx[:, None] * rec[:, 0].reshape(nc_child, K_pad)
+           + cvy[:, None] * rec[:, 1].reshape(nc_child, K_pad)
+           + cvz[:, None] * rec[:, 2].reshape(nc_child, K_pad))
+    ok = (k < cnt[:, None]) & (dot >= rec[:, 3].reshape(nc_child, K_pad))
     # stable compaction: valid slots first, original slot order kept
     keys = jnp.where(ok, k, K_pad + k)
     _, hid_s = jax.lax.sort((keys, hid), num_keys=1)

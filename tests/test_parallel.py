@@ -277,6 +277,39 @@ class TestRunnerMesh:
         groups = _buckets_by_nsidec(10.0 * R / D, 32, nsc_min)
         assert len(groups) >= 2
 
+    def test_baryonify_shell_mesh_refined_matches(self, mesh):
+        """Candidate refinement under mesh=: NESTED child blocks stay
+        aligned with the parent cell shards, so the sharded refined
+        branch must match single-device refined execution exactly."""
+        from baryonification_tpu import BaryonifyShell
+
+        nside = 128
+        rng = np.random.default_rng(9)
+        n_halo = 24
+        ra = rng.uniform(0, 360, n_halo)
+        dec = np.degrees(np.arcsin(rng.uniform(-0.9, 0.9, n_halo)))
+        M = 10 ** rng.uniform(14.6, 15.4, n_halo)
+        z = rng.uniform(0.06, 0.12, n_halo)
+        cat = HaloLightConeCatalog(ra=ra, dec=dec, M=M, z=z,
+                                   cosmo=COSMO_DICT)
+        shell = LightconeShell(map=rng.uniform(0.5, 1.5,
+                                               hpx.npix(nside)),
+                               cosmo=COSMO_DICT)
+        model = _StubDisp()
+        single = BaryonifyShell(cat, shell, epsilon_max=20.0, model=model,
+                                method="cellmajor", verbose=False)
+        single.refine_k_min = 1
+        want = single.process()
+        assert any(v[3] > k[1] for k, v in single._dense_cache.items())
+
+        sharded = BaryonifyShell(cat, shell, epsilon_max=20.0,
+                                 model=model, mesh=mesh, verbose=False)
+        sharded.refine_k_min = 1
+        got = sharded.process()
+        assert any(v[3] > k[1] for k, v in sharded._dense_cache.items())
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+        assert np.isclose(got.sum(), np.asarray(shell.map).sum())
+
     def test_paint_shell_mesh_matches(self, mesh):
         from baryonification_tpu import PaintProfilesShell
 

@@ -227,10 +227,12 @@ class TestGatherScatterParity:
         hvx, hvy, hvz = (st * np.cos(phi), st * np.sin(phi),
                          np.cos(theta))
         reach = radius + sg.MARGIN * hpx.nside2resol(nsc_c)
+        hrec = jnp.stack([jnp.asarray(hvx), jnp.asarray(hvy),
+                          jnp.asarray(hvz),
+                          jnp.cos(jnp.asarray(reach))]
+                         + [jnp.zeros(H)] * 4, axis=-1)
         dense_c, counts_c, K_c = cm.refine_cell_candidates(
-            hpx.npix(nsc_c), dense, counts, cvx, cvy, cvz,
-            jnp.asarray(hvx), jnp.asarray(hvy), jnp.asarray(hvz),
-            jnp.cos(jnp.asarray(reach)))
+            hpx.npix(nsc_c), dense, counts, cvx, cvy, cvz, hrec)
         dense_c = np.asarray(dense_c)
         counts_c = np.asarray(counts_c)
 
