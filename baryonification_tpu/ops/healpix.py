@@ -29,6 +29,20 @@ def npix(nside):
     return 12 * nside * nside
 
 
+def _idt():
+    """Index dtype: int64 on the x64 (host/f64) path, int32 on the
+    accelerator f32 path — pixel ids fit int32 for nside <= 8192
+    (12 * 8192^2 < 2^31), and asking for int64 under disabled x64
+    emits a per-trace UserWarning."""
+    return jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+
+
+def _fdt():
+    """Float dtype matching the x64 state (f64 host path / f32
+    accelerator path) without per-trace truncation warnings."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
 def nside2resol(nside):
     """Mean pixel spacing in radians (healpy parity)."""
     return np.sqrt(4.0 * np.pi / npix(nside))
@@ -62,7 +76,7 @@ def radec2ang(ra_deg, dec_deg):
 def pix2ang(nside, ipix):
     """RING pixel index -> (theta, phi), vectorized."""
     n = nside
-    p = jnp.asarray(ipix, dtype=jnp.int64)
+    p = jnp.asarray(ipix, dtype=_idt())
     Np = 12 * n * n
     ncap = 2 * n * (n - 1)
 
@@ -71,7 +85,7 @@ def pix2ang(nside, ipix):
     i_cap = (jnp.floor(jnp.sqrt(jnp.maximum(
         ph - jnp.sqrt(jnp.floor(ph)), 0.0))) + 1).astype(p.dtype)
     j_cap = p - 2 * i_cap * (i_cap - 1)          # 0-based in ring
-    z_n = 1.0 - i_cap.astype(jnp.float64) ** 2 / (3.0 * n * n)
+    z_n = 1.0 - i_cap.astype(_fdt()) ** 2 / (3.0 * n * n)
     phi_n = (jnp.pi / (2.0 * i_cap)) * (j_cap + 0.5)
 
     # --- equatorial belt: rings i = n..3n, 4n pixels each ---
@@ -79,7 +93,7 @@ def pix2ang(nside, ipix):
     i_eq = pe // (4 * n) + n
     j_eq = pe % (4 * n)
     s = (i_eq - n + 1) % 2                        # phase shift
-    z_e = 4.0 / 3.0 - 2.0 * i_eq.astype(jnp.float64) / (3.0 * n)
+    z_e = 4.0 / 3.0 - 2.0 * i_eq.astype(_fdt()) / (3.0 * n)
     phi_e = (jnp.pi / (2.0 * n)) * (j_eq + s * 0.5)
 
     # --- south cap (mirror of north) ---
@@ -88,7 +102,7 @@ def pix2ang(nside, ipix):
     i_s = (jnp.floor(jnp.sqrt(jnp.maximum(
         qh - jnp.sqrt(jnp.floor(qh)), 0.0))) + 1).astype(p.dtype)
     j_s = q - 2 * i_s * (i_s - 1)
-    z_s = -(1.0 - i_s.astype(jnp.float64) ** 2 / (3.0 * n * n))
+    z_s = -(1.0 - i_s.astype(_fdt()) ** 2 / (3.0 * n * n))
     phi_s = (jnp.pi / (2.0 * i_s)) * ((4 * i_s - 1 - j_s) + 0.5)
 
     north = p < ncap
@@ -113,8 +127,8 @@ def ang2pix(nside, theta, phi):
     # --- equatorial: |z| <= 2/3 ---
     temp1 = n * (0.5 + tt)
     temp2 = n * (z * 0.75)
-    jp = jnp.floor(temp1 - temp2).astype(jnp.int64)
-    jm = jnp.floor(temp1 + temp2).astype(jnp.int64)
+    jp = jnp.floor(temp1 - temp2).astype(_idt())
+    jm = jnp.floor(temp1 + temp2).astype(_idt())
     ir = n + 1 + jp - jm          # ring counted from z = 2/3: 1..2n+1
     kshift = 1 - (ir & 1)
     ip = (jp + jm - n + kshift + 1) // 2
@@ -124,10 +138,10 @@ def ang2pix(nside, theta, phi):
     # --- polar caps ---
     tp = tt - jnp.floor(tt)
     tmp = n * jnp.sqrt(jnp.maximum(3.0 * (1.0 - za), 0.0))
-    jp_c = jnp.floor(tp * tmp).astype(jnp.int64)
-    jm_c = jnp.floor((1.0 - tp) * tmp).astype(jnp.int64)
+    jp_c = jnp.floor(tp * tmp).astype(_idt())
+    jm_c = jnp.floor((1.0 - tp) * tmp).astype(_idt())
     ir_c = jp_c + jm_c + 1
-    ip_c = jnp.floor(tt * ir_c).astype(jnp.int64)
+    ip_c = jnp.floor(tt * ir_c).astype(_idt())
     ip_c = jnp.mod(ip_c, 4 * ir_c)
     pix_n = 2 * ir_c * (ir_c - 1) + ip_c
     pix_s = 12 * n * n - 2 * ir_c * (ir_c + 1) + ip_c
@@ -144,24 +158,24 @@ def ring_info(nside, i):
     shifted=1 means pixel centers offset by half a spacing in phi.
     """
     n = nside
-    i = jnp.asarray(i, dtype=jnp.int64)
+    i = jnp.asarray(i, dtype=_idt())
     in_ncap = i < n
     in_scap = i > 3 * n
 
     # north cap
-    z_n = 1.0 - i.astype(jnp.float64) ** 2 / (3.0 * n * n)
+    z_n = 1.0 - i.astype(_fdt()) ** 2 / (3.0 * n * n)
     start_n = 2 * i * (i - 1)
     npr_n = 4 * i
 
     # equatorial
-    z_e = 4.0 / 3.0 - 2.0 * i.astype(jnp.float64) / (3.0 * n)
+    z_e = 4.0 / 3.0 - 2.0 * i.astype(_fdt()) / (3.0 * n)
     start_e = 2 * n * (n - 1) + 4 * n * (i - n)
     npr_e = jnp.full_like(i, 4 * n)
-    shift_e = ((i - n + 1) % 2).astype(jnp.float64) * 0.5
+    shift_e = ((i - n + 1) % 2).astype(_fdt()) * 0.5
 
     # south cap: mirror ring i' = 4n - i
     i_m = 4 * n - i
-    z_s = -(1.0 - i_m.astype(jnp.float64) ** 2 / (3.0 * n * n))
+    z_s = -(1.0 - i_m.astype(_fdt()) ** 2 / (3.0 * n * n))
     start_s = 12 * n * n - 2 * i_m * (i_m + 1)
     npr_s = 4 * i_m
 
@@ -177,12 +191,12 @@ def z_to_ring(nside, z):
     n = nside
     z = jnp.asarray(z)
     # equatorial inverse: i = 2n - 1.5 n z  (from z = 4/3 - 2i/(3n))
-    i_eq = jnp.floor(n * (2.0 - 1.5 * z)).astype(jnp.int64)
+    i_eq = jnp.floor(n * (2.0 - 1.5 * z)).astype(_idt())
     # caps: i = n sqrt(3 (1 -| z|))
     i_n = jnp.floor(n * jnp.sqrt(jnp.maximum(3.0 * (1.0 - z), 0.0))
-                    ).astype(jnp.int64)
+                    ).astype(_idt())
     i_s = 4 * n - 1 - jnp.floor(
-        n * jnp.sqrt(jnp.maximum(3.0 * (1.0 + z), 0.0))).astype(jnp.int64)
+        n * jnp.sqrt(jnp.maximum(3.0 * (1.0 + z), 0.0))).astype(_idt())
     ring = jnp.where(z > 2.0 / 3.0, i_n,
                      jnp.where(z < -2.0 / 3.0, i_s, i_eq))
     return jnp.clip(ring, 0, 4 * n - 1)
@@ -194,9 +208,9 @@ def _ring_phi_neighbors(nside, ring, phi):
     """In ring ``ring``: the two pixels bracketing phi and the fractional
     offset toward the second one."""
     z, start, npr, shift = ring_info(nside, ring)
-    dphi = 2.0 * jnp.pi / npr.astype(jnp.float64)
+    dphi = 2.0 * jnp.pi / npr.astype(_fdt())
     t = phi / dphi - shift
-    j1 = jnp.floor(t).astype(jnp.int64)
+    j1 = jnp.floor(t).astype(_idt())
     frac = t - j1
     p1 = start + jnp.mod(j1, npr)
     p2 = start + jnp.mod(j1 + 1, npr)
@@ -436,7 +450,7 @@ def get_interp_weights_parts(nside, theta, phi):
         zr, start, npr, shift = ring_info(n, ring)
         dphi = 2.0 * jnp.pi / npr.astype(theta.dtype)
         t = phi / dphi - shift
-        j1 = jnp.floor(t).astype(jnp.int64)
+        j1 = jnp.floor(t).astype(_idt())
         frac = (t - j1).astype(theta.dtype)
         p1 = start + jnp.mod(j1, npr)
         p2 = start + jnp.mod(j1 + 1, npr)
@@ -593,7 +607,7 @@ def disc_window(nside, theta0, phi0, radius, n_rings, n_phi):
     rings = jnp.clip(rings_raw, 1, 4 * n - 1)  # clamped last ring (..., NR)
 
     z, start, npr, shift = ring_info(n, rings)
-    dphi_pix = 2.0 * jnp.pi / npr.astype(jnp.float64)
+    dphi_pix = 2.0 * jnp.pi / npr.astype(_fdt())
 
     # phi half-width of the disc at this ring's colatitude
     st0 = jnp.sin(theta0)[..., None]
@@ -607,7 +621,7 @@ def disc_window(nside, theta0, phi0, radius, n_rings, n_phi):
 
     # center pixel in ring and symmetric candidate offsets
     t = phi0[..., None] / dphi_pix - shift
-    j_center = jnp.round(t).astype(jnp.int64)
+    j_center = jnp.round(t).astype(_idt())
     m = jnp.arange(n_phi) - (n_phi // 2)
     j = j_center[..., None] + m                        # (..., NR, NP)
     jw = jnp.mod(j, npr[..., None])
