@@ -33,6 +33,18 @@ from .ops.interp import (pchip_derivatives, pchip_eval, masked_compact,
 __all__ = ["BaryonificationClass", "Baryonification3D", "Baryonification2D"]
 
 
+def _safe_log(m):
+    """log(m) for m > 0, -inf otherwise — with a NaN-free backward pass.
+
+    jnp.log(m) at m <= 0 leaves d(log)/dm = inf in the graph, which a
+    downstream where() cannot neutralize (0 * inf = NaN in the VJP);
+    the double-where keeps the cotangent of non-positive entries an
+    exact 0. Non-positive masses read as -inf instead of NaN, which the
+    inversion masks treat identically (nonfinite, |diff| = inf)."""
+    pos = m > 0
+    return jnp.where(pos, jnp.log(jnp.where(pos, m, 1.0)), -jnp.inf)
+
+
 def _prev_valid(values, mask, fill=0.0):
     """For each i, the value of the latest valid entry j < i (else ``fill``).
 
@@ -54,16 +66,31 @@ def _invert_mass_profile(lnr, ln_DMO, ln_DMB, n_mask_iter=30):
     """Compute d(r) = exp(pchip_DMB(pchip_DMO(ln r))) - r with the
     reference's iterative monotonicity/validity masking
     (`BaryonCorrection.py:237-284`). Returns (offset, ok).
+
+    Reverse-mode differentiable: the masking logic runs on
+    stop-gradient copies (comparisons carry no cotangent), and every
+    value that flows into the pchip numerics is finite — the NaN
+    out-of-range markers of the scipy-style formulation would emit
+    NaN cotangents through exp/ pchip even under a final where
+    (0 * inf), which is what `build_table_device` gradients need to
+    avoid.
     """
     N = lnr.shape[0]
+    # raw copies drive the masks; gradients never flow through them
+    lno_r = jax.lax.stop_gradient(ln_DMO)
+    lnb_r = jax.lax.stop_gradient(ln_DMB)
+    # sanitized copies drive the numerics: identical at every
+    # mask-valid entry (valid requires finiteness), finite elsewhere
+    ln_DMO = jnp.where(jnp.isfinite(lno_r), ln_DMO, 0.0)
+    ln_DMB = jnp.where(jnp.isfinite(lnb_r), ln_DMB, 0.0)
 
     # --- iterative DMB mask: monotone-increasing (vs previous valid point),
     # separated from DMO, finite; index 0 forced valid each round ---
     def body(mask, _):
-        prev = _prev_valid(ln_DMB, mask)
-        diff_ok = (ln_DMB - prev) > 1e-5
-        sep_ok = (jnp.abs(ln_DMB - ln_DMO) > 1e-6) | jnp.isnan(ln_DMO)
-        fin_ok = jnp.isfinite(ln_DMB)
+        prev = _prev_valid(lnb_r, mask)
+        diff_ok = (lnb_r - prev) > 1e-5
+        sep_ok = (jnp.abs(lnb_r - lno_r) > 1e-6) | jnp.isnan(lno_r)
+        fin_ok = jnp.isfinite(lnb_r)
         new = mask & diff_ok & sep_ok & fin_ok
         new = new.at[0].set(True)
         return new, None
@@ -73,26 +100,30 @@ def _invert_mass_profile(lnr, ln_DMO, ln_DMB, n_mask_iter=30):
     ok = jnp.sum(diff_mask) > 5
 
     # --- single-shot DMO mask (x-axis is radius, so laxer requirements) ---
-    prev_dmo = jnp.concatenate([jnp.zeros(1, ln_DMO.dtype), ln_DMO[:-1]])
-    fini_mask = ((ln_DMO - prev_dmo > 1e-5)
-                 & ((jnp.abs(ln_DMB - ln_DMO) > 1e-6) | jnp.isnan(ln_DMB))
-                 & jnp.isfinite(ln_DMO))
+    prev_dmo = jnp.concatenate([jnp.zeros(1, lno_r.dtype), lno_r[:-1]])
+    fini_mask = ((lno_r - prev_dmo > 1e-5)
+                 & ((jnp.abs(lnb_r - lno_r) > 1e-6) | jnp.isnan(lnb_r))
+                 & jnp.isfinite(lno_r))
 
     # --- monotone interpolants on compacted points ---
     # DMO: ln r -> ln M_DMO
     x1, y1, x1_hi = masked_compact(lnr, ln_DMO, fini_mask)
     d1 = pchip_derivatives(x1, y1)
     q1 = pchip_eval(lnr, x1, y1, d1)
-    q1 = jnp.where((lnr >= x1[0]) & (lnr <= x1_hi), q1, jnp.nan)
+    in1 = (lnr >= x1[0]) & (lnr <= x1_hi)
 
     # DMB inverse: ln M_DMB -> ln r
     x2, y2, x2_hi = masked_compact(ln_DMB, lnr, diff_mask)
     d2 = pchip_derivatives(x2, y2)
-    q2 = pchip_eval(q1, x2, y2, d2)
-    q2 = jnp.where((q1 >= x2[0]) & (q1 <= x2_hi), q2, jnp.nan)
+    # clamp the query into the valid x2 span: out-of-span entries are
+    # masked out below (in2), and evaluating the edge cubic far outside
+    # its interval explodes -> inf/NaN cotangents
+    q1s = jnp.clip(q1, x2[0], x2_hi)
+    q2 = pchip_eval(q1s, x2, y2, d2)
+    in2 = in1 & (q1 >= x2[0]) & (q1 <= x2_hi)
 
     offset = jnp.exp(q2) - jnp.exp(lnr)
-    offset = jnp.where(jnp.isfinite(offset), offset, 0.0)
+    offset = jnp.where(in2 & jnp.isfinite(offset), offset, 0.0)
     offset = jnp.where(ok, offset, 0.0)
     return offset, ok
 
@@ -117,6 +148,66 @@ class BaryonificationClass:
 
     def get_masses(self, model, r, M, a):
         raise NotImplementedError("Implement a get_masses() method first")
+
+    def build_table_device(self, z_range, M_range, r, rdelta_range=None,
+                           combos=None, p_keys=(), Rdelta_sampling=False):
+        """Pure-JAX displacement-table build: the device core of
+        :meth:`setup_interpolator`, returned as a (z*C, M, R) array with
+        no host conversion.
+
+        DIFFERENTIABLE: gradients flow from the returned table back to
+        any profile parameter currently set as a traced value on
+        ``self.DMO`` / ``self.DMB`` (construct the profiles with traced
+        kwargs, or ``set_parameter`` a tracer before calling). Combined
+        with ``BaryonifyShell.process_device`` this closes the autodiff
+        chain from baryon parameters to the baryonified map — a
+        capability the reference (scipy interpolators,
+        `BaryonCorrection.py:136-321`) cannot express.
+        """
+        if combos is None:
+            combos = np.zeros((1, 0))
+        if rdelta_range is None:
+            rdelta_range = np.asarray(r)
+        p_keys = list(p_keys)
+        lnr = jnp.asarray(np.log(np.asarray(r)))
+        M_dev = jnp.asarray(M_range)
+        rdelta_dev = jnp.asarray(rdelta_range)
+        cosmo = self.cosmo
+        mass_def = self.mass_def
+        use_rdelta = bool(Rdelta_sampling)
+
+        def build_slice(carry, za_and_p):
+            z_j, pvals = za_and_p
+            a_j = 1.0 / (1.0 + z_j)
+            from .profiles.base import _set_parameter
+            for ki, key in enumerate(p_keys):
+                _set_parameter(self.DMO, key, pvals[ki])
+                _set_parameter(self.DMB, key, pvals[ki])
+
+            M_DMO = self.get_masses(self.DMO, r, M_dev, a_j)  # (M, r)
+            M_DMB = self.get_masses(self.DMB, r, M_dev, a_j)
+
+            offsets, _ = jax.vmap(
+                lambda do, db: _invert_mass_profile(lnr, _safe_log(do),
+                                                    _safe_log(db))
+            )(M_DMO, M_DMB)
+
+            if use_rdelta:
+                Rdelta = mass_def.get_radius(cosmo, M_dev, a_j) / a_j
+                offsets = jax.vmap(
+                    lambda off, Rd: jnp.interp(rdelta_dev, jnp.exp(lnr) / Rd,
+                                               off)
+                )(offsets, Rdelta)
+            return carry, offsets
+
+        # sweep (z x combos) in one compiled lax.map-style scan (nested
+        # jit is grad-transparent: closed-over tracers lift to consts)
+        z_range = np.asarray(z_range)
+        zz = np.repeat(z_range, combos.shape[0])
+        pp = np.tile(combos, (z_range.size, 1))
+        build = jax.jit(lambda zs, ps: jax.lax.scan(
+            build_slice, 0, (zs, ps))[1])
+        return build(jnp.asarray(zz), jnp.asarray(pp))
 
     def setup_interpolator(self,
                            z_min=1e-2, z_max=5, N_samples_z=30,
@@ -156,54 +247,19 @@ class BaryonificationClass:
         else:
             combos = np.zeros((1, 0))
 
-        lnr = jnp.asarray(np.log(r))
-        M_dev = jnp.asarray(M_range)
-        rdelta_dev = jnp.asarray(rdelta_range)
-
+        use_rdelta = bool(Rdelta_sampling)
         # Save profile params that the sweep mutates, restore afterwards
         saved = [{k: getattr(prof, k, None) for k in p_keys}
                  for prof in (self.DMO, self.DMB)]
-
-        cosmo = self.cosmo
-        mass_def = self.mass_def
-        use_rdelta = bool(Rdelta_sampling)
-
-        def build_slice(carry, za_and_p):
-            z_j, pvals = za_and_p
-            a_j = 1.0 / (1.0 + z_j)
-            from .profiles.base import _set_parameter
-            for ki, key in enumerate(p_keys):
-                _set_parameter(self.DMO, key, pvals[ki])
-                _set_parameter(self.DMB, key, pvals[ki])
-
-            M_DMO = self.get_masses(self.DMO, r, M_dev, a_j)  # (M, r)
-            M_DMB = self.get_masses(self.DMB, r, M_dev, a_j)
-
-            offsets, _ = jax.vmap(
-                lambda do, db: _invert_mass_profile(lnr, jnp.log(do),
-                                                    jnp.log(db))
-            )(M_DMO, M_DMB)
-
-            if use_rdelta:
-                Rdelta = mass_def.get_radius(cosmo, M_dev, a_j) / a_j
-                offsets = jax.vmap(
-                    lambda off, Rd: jnp.interp(rdelta_dev, jnp.exp(lnr) / Rd,
-                                               off)
-                )(offsets, Rdelta)
-            return carry, offsets
-
-        # sweep (z x combos) in one compiled lax.map-style scan
-        zz = np.repeat(z_range, combos.shape[0])
-        pp = np.tile(combos, (z_range.size, 1))
-
-        build = jax.jit(lambda zs, ps: jax.lax.scan(
-            build_slice, 0, (zs, ps))[1])
         try:
             # table building is fp64 host work (like the reference's scipy
             # path); pin it to the CPU backend — the finished table then
             # flows to the accelerator for the runner hot path
             with jax.default_device(jax.devices("cpu")[0]):
-                table = build(jnp.asarray(zz), jnp.asarray(pp))
+                table = self.build_table_device(
+                    z_range, M_range, r, rdelta_range=rdelta_range,
+                    combos=combos, p_keys=p_keys,
+                    Rdelta_sampling=Rdelta_sampling)
         finally:
             # restore swept params so no tracers leak into the profiles
             for prof, sv in zip((self.DMO, self.DMB), saved):

@@ -39,10 +39,17 @@ model_params = [
 
 def sigmoid_cutoff(r, cutoff):
     """kfac = 1/(1 + e^{2(r - cutoff)}) with overflow guard
-    (`Schneider19.py:417-419`)."""
+    (`Schneider19.py:417-419`).
+
+    The guard substitutes the ARGUMENT before exp and the VALUE after
+    (double-where): an explicit exp(inf) in the graph yields 0 * inf =
+    NaN cotangents in reverse mode, which poisons every gradient
+    through a cutoff profile (e.g. CollisionlessMatter forces
+    cutoff=1000 during relaxation)."""
     arg = r - cutoff
-    arg = jnp.where(arg > 30.0, jnp.inf, arg)
-    return 1.0 / (1.0 + jnp.exp(2.0 * arg))
+    big = arg > 30.0
+    val = 1.0 / (1.0 + jnp.exp(2.0 * jnp.where(big, 30.0, arg)))
+    return jnp.where(big, 0.0, val)
 
 
 class SchneiderProfiles(HaloProfile):
@@ -212,8 +219,11 @@ class ShockedGas(Gas):
         rho_gas = super()._real(cosmo, r, M, a)
         g_arg = (jnp.log(r)[None, :]
                  - jnp.log(self.epsilon_shock * R)[:, None]) / self.width_shock
-        g_arg = jnp.where(g_arg > 1e2, jnp.inf, g_arg)
-        factor = (1 - 0.25) / (1 + jnp.exp(g_arg)) + 0.25
+        # double-where overflow guard (see sigmoid_cutoff): exact 0.25
+        # floor beyond the shock, NaN-free cotangents
+        big = g_arg > 1e2
+        factor = (1 - 0.25) / (1 + jnp.exp(jnp.where(big, 1e2, g_arg))) + 0.25
+        factor = jnp.where(big, 0.25, factor)
         return rho_gas * factor
 
 
@@ -275,9 +285,16 @@ class CollisionlessMatter(SchneiderProfiles):
 
             def body(_, zeta):
                 lnrf = lnr_int + jnp.log(zeta)
-                Mf = (fc * Mi
-                      + jnp.exp(pchip_eval(lnrf, lnr_int, lncga, dcga))
-                      + jnp.exp(pchip_eval(lnrf, lnr_int, lngas, dgas)))
+                # cubic-Hermite EXTRAPOLATION beyond the top node can
+                # exceed 709 -> exp = inf; the forward result is the
+                # same (Mi/inf and Mi/e^700 both give zeta = 1 - a) but
+                # an inf in the graph emits NaN cotangents, so clamp
+                # the log-mass instead
+                ln_cga = jnp.minimum(
+                    pchip_eval(lnrf, lnr_int, lncga, dcga), 700.0)
+                ln_gas = jnp.minimum(
+                    pchip_eval(lnrf, lnr_int, lngas, dgas), 700.0)
+                Mf = fc * Mi + jnp.exp(ln_cga) + jnp.exp(ln_gas)
                 return a_rel * ((Mi / Mf) ** n_rel - 1) + 1
 
             return jax.lax.fori_loop(0, self.max_iter, body, zeta)

@@ -961,6 +961,75 @@ class BaryonifyShell(DefaultRunner):
             "sum(oldmap) [%0.14e]" % (new_sum, old_sum))
         return new_map
 
+    def process_device(self, table=None):
+        """Differentiable, device-resident cell-major pipeline.
+
+        Runs the same single-device cell-major computation as
+        :meth:`process` but returns the new RING-order map as a device
+        array with no host round-trip or conservation assert. The
+        spatial geometry (registration, refined candidates, packed halo
+        records, pixel planes) is staged once from the runner caches
+        and treated as constant; ``table`` (default ``model._table``)
+        may be a TRACED array — the slot loops run with static trip
+        counts — so ``jax.grad`` flows from any scalar of the returned
+        map back through the hat readout into the displacement table,
+        and on into physical baryon parameters via
+        ``BaryonificationClass.build_table_device``. Geometry constancy
+        is exact: registration uses only halo positions and the
+        epsilon_max * R_Delta reach, neither of which depends on the
+        table. The reference's scipy/numba pipeline has no analog of
+        this capability. Intended for fitting/MCMC loops; parameter
+        sweeps re-use all staged geometry across calls.
+        """
+        assert self.mesh is None, (
+            "process_device is the single-device differentiable core; "
+            "use process() for mesh execution")
+        assert self.method in ("auto", "cellmajor"), (
+            "process_device supports only the cell-major formulation")
+        cosmo = Cosmology.from_dict(self.cosmo)
+        model = self.model
+        if table is None:
+            table = model._table
+        nside = self.LightconeShell.NSIDE
+        orig_map = np.asarray(self.LightconeShell.map, dtype=np.float64)
+        arrs = self._halo_arrays(cosmo)
+        use_rdelta = bool(getattr(model, 'Rdelta_sampling', False))
+        dt = self.dtype
+        table = jnp.asarray(table).astype(dt)
+        grids = tuple(g.astype(dt) for g in model._grids)
+        tables, _ = self._ring_tables(nside, dt)
+        hot_ctx = (x64_disabled() if dt == jnp.dtype('float32')
+                   else nullcontext())
+        with hot_ctx:
+            from . import shell_cellmajor as cm
+            zeros = jnp.zeros((hpx.npix(nside),), dtype=dt)
+            packed_all = self._packed_records(arrs, dt)
+            vxn, vyn, vzn = self._pixels_nested(nside, dt)
+            off_nested = (zeros, zeros, zeros)
+            g2 = np.asarray(model._grids[2])
+            for bi, (nside_c, idx, jidx, r_b, rcm_max) in enumerate(
+                    self._cm_groups(arrs, nside, 1)):
+                lazy_sub = lambda idx=idx: {k: v[idx]
+                                            for k, v in arrs.items()}
+                rad_max = (np.log(self.epsilon_max) if use_rdelta
+                           else np.log(self.epsilon_max * rcm_max))
+                n_hi = self._node_bound(g2, rad_max, len(g2))
+                dense, counts, K, nsc_eff = self._dense_candidates(
+                    bi, nside_c, lazy_sub, dt, r_b)
+                F = (nside // nsc_eff) ** 2
+                C_blk = self._cell_chunk(nsc_eff, F)
+                off_nested = cm.cellmajor_offsets_pass(
+                    use_rdelta, F, C_blk, n_hi, vxn, vyn, vzn,
+                    dense, counts, packed_all[jidx],
+                    grids[0], grids[1], table, grids[2],
+                    float(self.epsilon_max), *off_nested,
+                    k_static=max(int(K), 1))
+            n2r, _ = self._nested_maps(nside)
+            omap_n = self._orig_map_nested(orig_map, n2r, dt)
+            new_map = _regrid_shell(nside, tables, vxn, vyn, vzn,
+                                    omap_n, off_nested)
+        return new_map
+
 
 class PaintProfilesShell(DefaultRunner):
     """Paint a (tabulated) projected profile onto a shell (reference

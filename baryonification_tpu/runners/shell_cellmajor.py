@@ -175,11 +175,12 @@ def _segment_readout(A_T, t, n_lo, n_hi):
     return d
 
 
-@partial(jax.jit, static_argnames=("use_rdelta", "F", "C_blk", "n_hi"))
+@partial(jax.jit, static_argnames=("use_rdelta", "F", "C_blk", "n_hi",
+                                   "k_static"))
 def cellmajor_offsets_pass(use_rdelta, F, C_blk, n_hi,
                            pix_x, pix_y, pix_z, hid_dense, counts,
                            packed, gz, gM, base_table, lnr_grid,
-                           eps_max, ox, oy, oz):
+                           eps_max, ox, oy, oz, k_static=None):
     """One bucket's displacement pass over all pixels in NESTED order.
 
     pix_* : (npix,) nested-order pixel unit-vector planes
@@ -190,7 +191,10 @@ def cellmajor_offsets_pass(use_rdelta, F, C_blk, n_hi,
            bucket (r <= eps_max * R_max), so the hat loop skips them
     The slot loop bound is the chunk-local max count: NESTED chunks are
     spatially contiguous sky patches, so a cluster inflates K only in
-    its own chunk instead of globally.
+    its own chunk instead of globally. ``k_static`` replaces the
+    data-dependent bound with a fixed trip count — required for
+    reverse-mode AD (a traced fori_loop bound lowers to while_loop,
+    which has no transpose rule); pass the bucket's host-known K.
     Output: nested-order offset planes (accumulated onto ox/oy/oz).
     """
     npix = pix_x.shape[0]
@@ -277,7 +281,8 @@ def cellmajor_offsets_pass(use_rdelta, F, C_blk, n_hi,
         # derive the carry from the (possibly device-varying) pixel data
         # so the loop-carry varying-axis types match under shard_map
         z = px * jnp.zeros((), dtype=dt)
-        bx, by, bz = jax.lax.fori_loop(0, k_max[c0], k_body, (z, z, z))
+        upper = k_max[c0] if k_static is None else k_static
+        bx, by, bz = jax.lax.fori_loop(0, upper, k_body, (z, z, z))
         return bx.reshape(-1), by.reshape(-1), bz.reshape(-1)
 
     bx, by, bz = jax.lax.map(one_chunk, jnp.arange(n_chunks))

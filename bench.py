@@ -30,6 +30,7 @@ def main():
     eps_max = float(os.environ.get("BENCH_EPS_MAX", 20.0))
 
     import jax
+    import jax.numpy as jnp
 
     from baryonification_tpu import (Cosmology, HaloLightConeCatalog,
                                      LightconeShell)
@@ -90,6 +91,15 @@ def main():
         for label, dt_s in runner.stage_times:
             print(f"#   {tag} {label}: {dt_s:.2f}s", file=sys.stderr)
         runner.stage_times = []
+
+    # device/tunnel establishment: the first device op of a process pays
+    # backend init + (on remote-TPU tunnels) connection setup, which has
+    # been measured anywhere from ~1 s to 400+ s under congestion —
+    # report it separately so the compute warm-up is attributable
+    t0 = time.time()
+    float(jnp.sum(jnp.ones((8,), dtype=jnp.float32)))
+    print(f"# device init (tunnel establishment): {time.time() - t0:.1f}s",
+          file=sys.stderr)
 
     # warm-up (compile)
     t0 = time.time()

@@ -1,0 +1,154 @@
+"""Gradient-based inference of M_c through the FULL pipeline.
+
+A capability demo with asserted outcomes: recover the gas ejection mass
+M_c of Schneider+19 from a mock baryonified mass shell by gradient
+descent, differentiating end-to-end through
+
+    ln M_c
+      -> profile quadratures + adiabatic relaxation + mass inversion
+         (BaryonificationClass.build_table_device)
+      -> cell-major shell baryonification + conservative regrid
+         (BaryonifyShell.process_device)
+      -> chi^2 against the mock map.
+
+The reference pipeline (scipy interpolators + numba scatter loops,
+`BaryonCorrection.py:136-321`, `HealpixRunner.py:223-349`) cannot
+express any of these derivatives; fitting there means finite-difference
+sweeps of the whole pipeline per parameter. Here one reverse-mode pass
+prices every parameter simultaneously.
+
+Asserts (exit nonzero on regression):
+  1. the autodiff gradient at the truth is ~0 and at a perturbed M_c
+     points back toward the truth;
+  2. Adam recovers ln M_c to < 5% of the injected offset's magnitude;
+  3. the chi^2 drops by > 100x from the perturbed start.
+
+Run: python examples/14_gradient_fit_Mc.py   (~2-4 min, CPU)
+"""
+
+import os
+import sys
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root, for the package
+if not os.environ.get("BENCH"):  # demos run on CPU
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+
+import jax
+import jax.numpy as jnp
+
+from baryonification_tpu import (Cosmology, HaloLightConeCatalog,
+                                 LightconeShell)
+from baryonification_tpu.displacement import Baryonification2D
+from baryonification_tpu.profiles import DarkMatterOnly, DarkMatterBaryon
+from baryonification_tpu.runners import BaryonifyShell
+from baryonification_tpu.ops import healpix as hpx
+
+COSMO = dict(Omega_m=0.3, Omega_b=0.05, h=0.7, sigma8=0.8, n_s=0.96,
+             w0=-1.0)
+PAR = dict(epsilon=4.0, theta_ej=4, theta_co=0.1, M_c=1e14, mu_beta=0.1,
+           gamma=2.5, delta=7, mu_theta_ej=0.1, M_theta_ej=5e13,
+           M_theta_co=5e13, M_gamma=5e13, M_delta=5e13, eta=0.3,
+           eta_delta=0.1, tau=-1.5, tau_delta=0, A=0.055, M1=3e11,
+           epsilon_h=0.015, a=0.3, n=2.0, p=0.3, q=0.707,
+           cutoff=np.inf, proj_cutoff=1000)
+
+LN_MC_TRUE = float(np.log(10 ** 13.8))
+LN_MC_START = float(np.log(10 ** 14.4))   # 0.6 ln10 ~ 1.38 off
+
+# small table grid: the fit rebuilds it every step
+Z_RANGE = np.geomspace(0.1, 0.5, 3)
+M_RANGE = np.geomspace(1e13, 1e15, 6)
+R_RANGE = np.geomspace(1e-3, 70, 48)
+
+
+def main():
+    cosmo = Cosmology.from_dict(COSMO)
+
+    # ---- mock observation ----
+    nside = 32
+    rng = np.random.default_rng(7)
+    n_halo = 30
+    cat = HaloLightConeCatalog(
+        ra=rng.uniform(0, 360, n_halo),
+        dec=np.degrees(np.arcsin(rng.uniform(-0.85, 0.85, n_halo))),
+        M=10 ** rng.uniform(13.8, 14.9, n_halo),
+        z=rng.uniform(0.15, 0.45, n_halo), cosmo=COSMO)
+    shell = LightconeShell(map=rng.uniform(0.5, 1.5, hpx.npix(nside)),
+                           cosmo=COSMO)
+
+    # one staged runner: geometry caches (registration, candidates,
+    # packed records) are table-independent and shared by every step
+    model0 = Baryonification2D(DarkMatterOnly(**PAR),
+                               DarkMatterBaryon(**PAR), cosmo,
+                               epsilon_max=20)
+    model0.setup_interpolator(z_min=Z_RANGE[0], z_max=Z_RANGE[-1],
+                              N_samples_z=len(Z_RANGE),
+                              M_min=M_RANGE[0], M_max=M_RANGE[-1],
+                              N_samples_Mass=len(M_RANGE),
+                              R_min=R_RANGE[0], R_max=R_RANGE[-1],
+                              N_samples_R=len(R_RANGE))
+    runner = BaryonifyShell(cat, shell, epsilon_max=20, model=model0,
+                            method="cellmajor", verbose=False)
+
+    def table_of(lnMc):
+        par = dict(PAR)
+        par['M_c'] = jnp.exp(lnMc)
+        m = Baryonification2D(DarkMatterOnly(**par),
+                              DarkMatterBaryon(**par), cosmo,
+                              epsilon_max=20)
+        t = m.build_table_device(Z_RANGE, M_RANGE, R_RANGE)
+        return t.reshape(len(Z_RANGE), len(M_RANGE), len(R_RANGE))
+
+    target = runner.process_device(table_of(LN_MC_TRUE))
+    target = jax.lax.stop_gradient(target)
+
+    def chi2(lnMc):
+        m = runner.process_device(table_of(lnMc))
+        return jnp.sum((m - target) ** 2) * 1e6
+
+    val_grad = jax.value_and_grad(chi2)
+
+    # ---- assert 1: gradient geometry ----
+    _, g_true = val_grad(jnp.asarray(LN_MC_TRUE))
+    c0, g_start = val_grad(jnp.asarray(LN_MC_START))
+    print(f"grad at truth: {float(g_true):+.3e}   "
+          f"grad at start: {float(g_start):+.3e}   chi2 start: {float(c0):.4e}")
+    assert abs(float(g_true)) < 0.05 * abs(float(g_start)), \
+        "gradient at the truth should be ~0 relative to the start"
+    assert float(g_start) * (LN_MC_START - LN_MC_TRUE) > 0, \
+        "gradient at the start must point back toward the truth"
+
+    # ---- assert 2+3: Adam recovers M_c ----
+    import optax
+    opt = optax.adam(learning_rate=0.15)
+    lnMc = jnp.asarray(LN_MC_START)
+    state = opt.init(lnMc)
+    best = (np.inf, LN_MC_START)
+    for step in range(25):
+        c, g = val_grad(lnMc)
+        if float(c) < best[0]:
+            best = (float(c), float(lnMc))
+        upd, state = opt.update(g, state)
+        lnMc = optax.apply_updates(lnMc, upd)
+        if step % 5 == 0 or step == 24:
+            print(f"step {step:2d}: ln M_c = {float(lnMc):.4f} "
+                  f"(truth {LN_MC_TRUE:.4f})  chi2 = {float(c):.4e}")
+
+    c_final, lnMc_final = best
+    err = abs(lnMc_final - LN_MC_TRUE)
+    off0 = abs(LN_MC_START - LN_MC_TRUE)
+    print(f"\nrecovered ln M_c = {lnMc_final:.4f}  (truth {LN_MC_TRUE:.4f}; "
+          f"residual {err:.4f} = {err / off0:.1%} of injected offset)")
+    print(f"chi2: {float(c0):.4e} -> {c_final:.4e} "
+          f"({float(c0) / max(c_final, 1e-300):.1f}x drop)")
+    assert err < 0.05 * off0, "M_c not recovered"
+    assert c_final < float(c0) / 100, "chi2 did not drop 100x"
+    print("\nPASS: M_c recovered by autodiff through the full pipeline")
+
+
+if __name__ == "__main__":
+    main()

@@ -59,3 +59,90 @@ class TestGradients:
                - f(jnp.log(2e14) - eps, jnp.log(0.5))) / (2 * eps)
         np.testing.assert_allclose(float(g[0]), float(fd0), rtol=1e-5,
                                    atol=1e-10)
+
+
+class TestEndToEndGradients:
+    """The full autodiff chain the reference cannot express: baryon
+    parameter -> displacement table (build_table_device) -> baryonified
+    map (BaryonifyShell.process_device) -> scalar summary."""
+
+    @pytest.fixture(scope="class")
+    def staged(self, cosmo):
+        from baryonification_tpu import (HaloLightConeCatalog,
+                                         LightconeShell)
+        from baryonification_tpu.displacement import Baryonification2D
+        from baryonification_tpu.profiles import (DarkMatterOnly,
+                                                  DarkMatterBaryon)
+        from baryonification_tpu.runners import BaryonifyShell
+        from baryonification_tpu.ops import healpix as hpx
+
+        COSMO_DICT = dict(Omega_m=0.3, Omega_b=0.05, h=0.7, sigma8=0.8,
+                          n_s=0.96, w0=-1.0)
+        model = Baryonification2D(DarkMatterOnly(**PAR),
+                                  DarkMatterBaryon(**PAR), cosmo,
+                                  epsilon_max=20)
+        model.setup_interpolator(z_min=0.05, z_max=0.6, N_samples_z=4,
+                                 M_min=1e13, M_max=1e15, N_samples_Mass=6,
+                                 R_min=1e-3, R_max=70, N_samples_R=64)
+        nside = 32
+        rng = np.random.default_rng(11)
+        n = 25
+        cat = HaloLightConeCatalog(
+            ra=rng.uniform(0, 360, n),
+            dec=np.degrees(np.arcsin(rng.uniform(-0.8, 0.8, n))),
+            M=10 ** rng.uniform(13.6, 14.8, n),
+            z=rng.uniform(0.15, 0.45, n), cosmo=COSMO_DICT)
+        shell = LightconeShell(map=rng.uniform(0.5, 1.5,
+                                               hpx.npix(nside)),
+                               cosmo=COSMO_DICT)
+        runner = BaryonifyShell(cat, shell, epsilon_max=20, model=model,
+                                method="cellmajor", verbose=False)
+        return runner, model
+
+    def test_process_device_matches_process(self, staged):
+        runner, model = staged
+        want = runner.process()
+        got = np.asarray(runner.process_device())
+        np.testing.assert_array_equal(got, want)
+
+    def test_grad_wrt_table(self, staged):
+        """d(map power)/d(table scale) via autodiff vs finite
+        differences (loose tolerance: the regrid's pixel-assignment
+        floor() has measure-zero kinks that an FD step can straddle)."""
+        runner, model = staged
+        tab = model._table
+
+        def f(s):
+            return jnp.sum(runner.process_device(tab * s) ** 2)
+
+        g = float(jax.grad(f)(1.0))
+        fd = float((f(1.0 + 1e-6) - f(1.0 - 1e-6)) / 2e-6)
+        assert np.isfinite(g) and g != 0
+        np.testing.assert_allclose(g, fd, rtol=5e-2)
+
+    def test_grad_wrt_Mc_through_table_build(self, cosmo):
+        """d(table)/d(ln M_c) through the full profile quadratures +
+        relaxation + mass-profile inversion."""
+        from baryonification_tpu.displacement import Baryonification2D
+        from baryonification_tpu.profiles import (DarkMatterOnly,
+                                                  DarkMatterBaryon)
+
+        zr = np.geomspace(0.1, 0.3, 2)
+        Mr = np.geomspace(1e13, 1e15, 4)
+        r = np.geomspace(1e-2, 30, 32)
+
+        def f(lnMc):
+            par = dict(PAR)
+            par['M_c'] = jnp.exp(lnMc)
+            model = Baryonification2D(DarkMatterOnly(**par),
+                                      DarkMatterBaryon(**par), cosmo,
+                                      epsilon_max=20)
+            t = model.build_table_device(zr, Mr, r)
+            return jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0) ** 2)
+
+        lnMc0 = jnp.log(1e14)
+        g = float(jax.grad(f)(lnMc0))
+        eps = 1e-4
+        fd = float((f(lnMc0 + eps) - f(lnMc0 - eps)) / (2 * eps))
+        assert np.isfinite(g) and g != 0
+        np.testing.assert_allclose(g, fd, rtol=1e-4)
