@@ -33,16 +33,7 @@ from .ops.interp import (pchip_derivatives, pchip_eval, masked_compact,
 __all__ = ["BaryonificationClass", "Baryonification3D", "Baryonification2D"]
 
 
-def _safe_log(m):
-    """log(m) for m > 0, -inf otherwise — with a NaN-free backward pass.
-
-    jnp.log(m) at m <= 0 leaves d(log)/dm = inf in the graph, which a
-    downstream where() cannot neutralize (0 * inf = NaN in the VJP);
-    the double-where keeps the cotangent of non-positive entries an
-    exact 0. Non-positive masses read as -inf instead of NaN, which the
-    inversion masks treat identically (nonfinite, |diff| = inf)."""
-    pos = m > 0
-    return jnp.where(pos, jnp.log(jnp.where(pos, m, 1.0)), -jnp.inf)
+from .utils import safe_log as _safe_log
 
 
 def _prev_valid(values, mask, fill=0.0):

@@ -1193,6 +1193,59 @@ class PaintProfilesShell(DefaultRunner):
 
         return np.asarray(new_map, dtype=np.float64)
 
+    def process_device(self, table=None):
+        """Differentiable, device-resident cell-major painting.
+
+        Counterpart of ``BaryonifyShell.process_device`` for the paint
+        path: returns the painted RING-order map as a device array;
+        ``table`` (default ``model._ln2D``, the LOG projected-profile
+        table) may be traced, so ``jax.grad`` flows from any scalar of
+        the map back into the table — and into physical profile
+        parameters via ``TabulatedProfile.build_tables_device`` (e.g.
+        gas-pressure parameters from a painted tSZ map). Geometry is
+        staged from the runner caches and constant."""
+        assert self.mesh is None, (
+            "process_device is the single-device differentiable core; "
+            "use process() for mesh execution")
+        assert self.method in ("auto", "cellmajor"), (
+            "process_device supports only the cell-major formulation")
+        cosmo = Cosmology.from_dict(self.cosmo)
+        model = self.model
+        assert model is not None and hasattr(model, '_ln2D')
+        if table is None:
+            table = model._ln2D
+        nside = self.LightconeShell.NSIDE
+        arrs = self._halo_arrays(cosmo)
+        dt = self.dtype
+        table = jnp.asarray(table).astype(dt)
+        grids = tuple(g.astype(dt) for g in model._grids)
+        hot_ctx = (x64_disabled() if dt == jnp.dtype('float32')
+                   else nullcontext())
+        with hot_ctx:
+            from . import shell_cellmajor as cm
+            packed_all = self._packed_records(arrs, dt)
+            vxn, vyn, vzn = self._pixels_nested(nside, dt)
+            map_nested = jnp.zeros((hpx.npix(nside),), dtype=dt)
+            g2 = np.asarray(model._grids[2])
+            for bi, (nside_c, idx, jidx, r_b, rcm_max) in enumerate(
+                    self._cm_groups(arrs, nside, 1)):
+                lazy_sub = lambda idx=idx: {k: v[idx]
+                                            for k, v in arrs.items()}
+                rad_max = np.log(self.epsilon_max * rcm_max)
+                n_hi = self._node_bound(g2, rad_max, len(g2))
+                dense, counts, K, nsc_eff = self._dense_candidates(
+                    bi, nside_c, lazy_sub, dt, r_b)
+                F = (nside // nsc_eff) ** 2
+                C_blk = self._cell_chunk(nsc_eff, F)
+                map_nested = cm.cellmajor_paint_pass(
+                    F, C_blk, n_hi, vxn, vyn, vzn, dense, counts,
+                    packed_all[jidx], grids[0], grids[1], table,
+                    grids[2], float(self.epsilon_max), map_nested,
+                    k_static=max(int(K), 1))
+            _, r2n = self._nested_maps(nside)
+            out = map_nested[r2n]
+        return out
+
 
 class PaintProfilesAnisShell(PaintProfilesShell):
     """Alias of PaintProfilesShell (the reference's version is a verbatim

@@ -290,12 +290,14 @@ def cellmajor_offsets_pass(use_rdelta, F, C_blk, n_hi,
             oz + bz.reshape(npix))
 
 
-@partial(jax.jit, static_argnames=("F", "C_blk", "n_hi"))
+@partial(jax.jit, static_argnames=("F", "C_blk", "n_hi", "k_static"))
 def cellmajor_paint_pass(F, C_blk, n_hi,
                          pix_x, pix_y, pix_z, hid_dense, counts,
                          packed, gz, gM, base_table, lnr_grid,
-                         eps_max, new_map):
-    """Cell-major painting pass (log-profile base table; exp readout)."""
+                         eps_max, new_map, k_static=None):
+    """Cell-major painting pass (log-profile base table; exp readout).
+    ``k_static`` as in :func:`cellmajor_offsets_pass` (reverse-mode AD
+    needs the static trip count)."""
     npix = pix_x.shape[0]
     ncell = counts.shape[0]
     K_pad = hid_dense.shape[0] // ncell
@@ -357,7 +359,8 @@ def cellmajor_paint_pass(F, C_blk, n_hi,
             return acc + paint
 
         z = px * jnp.zeros((), dtype=dt)
-        out = jax.lax.fori_loop(0, k_max[c0], k_body, z)
+        upper = k_max[c0] if k_static is None else k_static
+        out = jax.lax.fori_loop(0, upper, k_body, z)
         return out.reshape(-1)
 
     out = jax.lax.map(one_chunk, jnp.arange(n_chunks))

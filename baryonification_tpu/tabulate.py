@@ -78,6 +78,35 @@ class TabulatedProfile(HaloProfile):
             self._ln3D = jnp.asarray(np.log(interp3D))
             self._ln2D = jnp.asarray(np.log(interp2D))
 
+    def build_tables_device(self, z_range, M_range, r):
+        """Pure-JAX (ln3D, ln2D) table build: the device core of
+        :meth:`setup_interpolator`, returned as (Nz, NM, NR) arrays with
+        no host conversion.
+
+        DIFFERENTIABLE: gradients flow from the returned log-tables back
+        to any profile parameter currently set as a traced value on
+        ``self.model`` (construct the model with traced kwargs or
+        ``set_parameter`` a tracer first). Combined with
+        ``PaintProfilesShell.process_device`` this closes the autodiff
+        chain from e.g. gas-pressure parameters to a painted tSZ map.
+        Zero profile values log to -inf (NaN-free backward; the paint
+        kernels sanitize nonfinite nodes to an inert sentinel).
+        """
+        from .utils import safe_log
+        z_range = np.asarray(z_range)
+        M_dev = jnp.asarray(M_range)
+        r_dev = jnp.asarray(r)
+
+        def one_z(carry, z_j):
+            a_j = 1.0 / (1.0 + z_j)
+            p3 = self.model.real(self.cosmo, r_dev, M_dev, a_j)
+            p2 = self.model.projected(self.cosmo, r_dev, M_dev, a_j) * a_j
+            return carry, (safe_log(p3), safe_log(p2))
+
+        build = jax.jit(lambda zs: jax.lax.scan(one_z, 0, zs)[1])
+        ln3, ln2 = build(jnp.asarray(z_range))
+        return ln3, ln2
+
     def _check_built(self):
         if not hasattr(self, '_ln3D'):
             raise NameError(

@@ -12,7 +12,20 @@ from contextlib import contextmanager
 from functools import wraps
 
 __all__ = ['build_cosmodict', 'log_time', 'host_cpu_device', 'x64_disabled',
-           'generate_operator_method', 'destory_Pk', 'trace']
+           'generate_operator_method', 'destory_Pk', 'trace', 'safe_log']
+
+
+def safe_log(m):
+    """log(m) for m > 0, -inf otherwise — with a NaN-free backward pass.
+
+    jnp.log(m) at m <= 0 leaves d(log)/dm = inf in the graph, which a
+    downstream where() cannot neutralize (0 * inf = NaN in the VJP); the
+    double-where keeps the cotangent of non-positive entries an exact 0.
+    Non-positive values read as -inf instead of NaN; every table/mask
+    consumer in the package treats the two identically (nonfinite)."""
+    import jax.numpy as jnp
+    pos = m > 0
+    return jnp.where(pos, jnp.log(jnp.where(pos, m, 1.0)), -jnp.inf)
 
 
 @contextmanager

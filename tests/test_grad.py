@@ -146,3 +146,81 @@ class TestEndToEndGradients:
         fd = float((f(lnMc0 + eps) - f(lnMc0 - eps)) / (2 * eps))
         assert np.isfinite(g) and g != 0
         np.testing.assert_allclose(g, fd, rtol=1e-4)
+
+
+class TestPaintGradients:
+    """Differentiable painting: gas parameters -> projected-profile
+    table (build_tables_device) -> painted map (process_device)."""
+
+    @pytest.fixture(scope="class")
+    def staged_paint(self, cosmo):
+        from baryonification_tpu import (HaloLightConeCatalog,
+                                         LightconeShell)
+        from baryonification_tpu.tabulate import TabulatedProfile
+        from baryonification_tpu.runners import PaintProfilesShell
+        from baryonification_tpu.ops import healpix as hpx
+
+        COSMO_DICT = dict(Omega_m=0.3, Omega_b=0.05, h=0.7, sigma8=0.8,
+                          n_s=0.96, w0=-1.0)
+        gas = TabulatedProfile(Gas(**PAR), cosmo)
+        gas.setup_interpolator(z_min=0.05, z_max=0.6, N_samples_z=4,
+                               M_min=1e13, M_max=1e15, N_samples_Mass=6,
+                               R_min=1e-3, R_max=70, N_samples_R=48)
+        nside = 32
+        rng = np.random.default_rng(11)
+        n = 25
+        cat = HaloLightConeCatalog(
+            ra=rng.uniform(0, 360, n),
+            dec=np.degrees(np.arcsin(rng.uniform(-0.8, 0.8, n))),
+            M=10 ** rng.uniform(13.6, 14.8, n),
+            z=rng.uniform(0.15, 0.45, n), cosmo=COSMO_DICT)
+        shell = LightconeShell(map=rng.uniform(0.5, 1.5,
+                                               hpx.npix(nside)),
+                               cosmo=COSMO_DICT)
+        runner = PaintProfilesShell(cat, shell, epsilon_max=5, model=gas,
+                                    method="cellmajor", verbose=False)
+        return runner, gas
+
+    def test_paint_device_matches_process(self, staged_paint):
+        runner, gas = staged_paint
+        want = runner.process()
+        got = np.asarray(runner.process_device())
+        np.testing.assert_array_equal(got, want)
+
+    def test_paint_grad_wrt_table(self, staged_paint):
+        runner, gas = staged_paint
+        tab = gas._ln2D
+
+        def f(s):
+            # scaling the LOG table by s scales every painted value
+            # p -> p^s; smooth in s
+            return jnp.sum(runner.process_device(tab * s))
+
+        g = float(jax.grad(f)(1.0))
+        fd = float((f(1.0 + 1e-6) - f(1.0 - 1e-6)) / 2e-6)
+        assert np.isfinite(g) and g != 0
+        np.testing.assert_allclose(g, fd, rtol=1e-5)
+
+    def test_paint_grad_wrt_theta_ej_through_build(self, staged_paint,
+                                                   cosmo):
+        """d(painted map)/d(theta_ej) through the projected-profile
+        quadrature + table build + paint kernel."""
+        runner, gas = staged_paint
+        zr = np.geomspace(0.05, 0.6, 4)
+        Mr = np.geomspace(1e13, 1e15, 6)
+        r = np.geomspace(1e-3, 70, 48)
+
+        def f(ln_tej):
+            par = dict(PAR)
+            par['theta_ej'] = jnp.exp(ln_tej)
+            from baryonification_tpu.tabulate import TabulatedProfile
+            m = TabulatedProfile(Gas(**par), cosmo)
+            _, ln2 = m.build_tables_device(zr, Mr, r)
+            return jnp.sum(runner.process_device(ln2))
+
+        x0 = jnp.log(4.0)
+        g = float(jax.grad(f)(x0))
+        eps = 1e-4
+        fd = float((f(x0 + eps) - f(x0 - eps)) / (2 * eps))
+        assert np.isfinite(g) and g != 0
+        np.testing.assert_allclose(g, fd, rtol=1e-3)
