@@ -52,7 +52,8 @@ class DefaultRunnerGrid:
 
     def __init__(self, HaloNDCatalog, GriddedMap, epsilon_max, model,
                  use_ellipticity=False, mass_def=None, verbose=True,
-                 halo_chunk=64, n_buckets=8, precision="auto"):
+                 halo_chunk=64, n_buckets=8, precision="auto",
+                 method="auto"):
         self.HaloNDCatalog = HaloNDCatalog
         self.GriddedMap = GriddedMap
         self.cosmo = HaloNDCatalog.cosmology
@@ -67,6 +68,22 @@ class DefaultRunnerGrid:
             precision = ("float64" if jax.default_backend() == "cpu"
                          else "float32")
         self.dtype = jnp.dtype(precision)
+        # 'cellmajor' (3D, isotropic, no extra param axes): block-major
+        # dense pass, TPU speed-of-light (grid_cellmajor.py);
+        # 'scatter': per-halo windowed cutouts + scatter-add (exact
+        # reference-loop semantics; the only path for 2D / ellipticity /
+        # p_keys). auto: cellmajor where eligible on accelerators.
+        p_keys = getattr(model, 'p_keys', []) or []
+        eligible = (not GriddedMap.is2D and not use_ellipticity
+                    and not p_keys)
+        if method == "auto":
+            method = ("cellmajor" if eligible
+                      and jax.default_backend() != "cpu" else "scatter")
+        if method == "cellmajor" and not eligible:
+            raise ValueError(
+                "method='cellmajor' supports 3D grids without "
+                "ellipticity or extra parameter axes; use 'scatter'")
+        self.method = method
 
         if use_ellipticity:
             names = HaloNDCatalog.cat.dtype.names
@@ -99,6 +116,117 @@ class DefaultRunnerGrid:
         out['props'] = (np.stack([cat[k] for k in p_keys], axis=-1)
                         if p_keys else np.zeros((cat.size, 0)))
         return a, out
+
+    # ----- cell-major staging (3D; cached per catalog) -----
+    def _check_gcaches(self):
+        """Invalidate per-catalog staging caches on catalog swap."""
+        if getattr(self, '_gcache_cat', None) is not self.HaloNDCatalog:
+            for attr in ('_gpacked_cache', '_gdense_cache'):
+                if hasattr(self, attr):
+                    delattr(self, attr)
+            self._gcache_cat = self.HaloNDCatalog
+
+    @staticmethod
+    def _node_bound(g2, rad_max, Nr):
+        """Static radial-node bound (see shell.DefaultRunner)."""
+        n_hi = int(np.floor((rad_max - g2[0]) / (g2[1] - g2[0]))) + 2
+        return min(Nr, max(32, -(-n_hi // 32) * 32))
+
+    def _nearest_bins(self, x):
+        """Nearest-bin index per halo per axis, matching
+        jnp.argmin(|bins - x|) exactly (ties -> lower index)."""
+        gm = self.GriddedMap
+        bins = np.asarray(gm.bins, dtype=np.float64)
+        N = len(bins)
+        cand = np.clip(np.floor((x - bins[0]) / gm.res).astype(np.int64),
+                       0, N - 2)
+        lo = np.abs(bins[cand] - x)
+        hi = np.abs(bins[cand + 1] - x)
+        return (cand + (hi < lo)).astype(np.int64)
+
+    def _grid_packed(self, arrs, R_com, dt):
+        """(H, 16) packed records [x, y, z, R_com, lnM, lnRc, cen_x,
+        cen_y, cen_z, pad...] for the cell-major grid kernels (cached
+        per dtype)."""
+        cache = getattr(self, '_gpacked_cache', None)
+        if cache is None:
+            cache = {}
+            self._gpacked_cache = cache
+        key = str(dt)
+        if key not in cache:
+            H = len(arrs['x'])
+            cols = np.zeros((H, 16))
+            cols[:, 0] = arrs['x']
+            cols[:, 1] = arrs['y']
+            cols[:, 2] = arrs['z']
+            cols[:, 3] = R_com
+            cols[:, 4] = np.log(arrs['M'])
+            cols[:, 5] = np.log(R_com)
+            cols[:, 6] = self._nearest_bins(arrs['x'])
+            cols[:, 7] = self._nearest_bins(arrs['y'])
+            cols[:, 8] = self._nearest_bins(arrs['z'])
+            cache[key] = jnp.asarray(cols, dtype=dt)
+        return cache[key]
+
+    def _grid_dense(self, bi, B, sel, arrs, reach, dt):
+        """Dense block candidates for one bucket (cached per catalog)."""
+        cache = getattr(self, '_gdense_cache', None)
+        if cache is None:
+            cache = {}
+            self._gdense_cache = cache
+        key = (bi, B, str(dt))
+        if key not in cache:
+            from . import grid_cellmajor as gcm
+            from . import shell_cellmajor as cm
+            gm = self.GriddedMap
+            N = gm.Npix
+            nb = N // B
+            L = float(N * gm.res)
+            hb = L / nb
+            # cover every block whose center can be within
+            # reach + hb/2 (per axis) of a halo anywhere in its block
+            W = min(2 * int(np.ceil(reach / hb + 1.0)) + 1, nb)
+            H = len(sel)
+            step = max(256, 1 << max(max(H - 1, 1).bit_length() - 3, 0))
+            H_pad = -(-H // step) * step
+            pad = lambda v, fill: np.concatenate(
+                [v, np.full(H_pad - H, fill)]) if H_pad > H else v
+            rr = np.full(H, reach)
+            x0 = np.asarray(gm.bins)[0] - gm.res / 2
+            hids, cell_start, K = gcm.register_halos_grid(
+                nb, W, dt.type(L),
+                jnp.asarray(pad(arrs['x'][sel] - x0, 0.0), dtype=dt),
+                jnp.asarray(pad(arrs['y'][sel] - x0, 0.0), dtype=dt),
+                jnp.asarray(pad(arrs['z'][sel] - x0, 0.0), dtype=dt),
+                jnp.asarray(pad(rr, -1.0), dtype=dt))
+            K = int(K)
+            K_pad = max(64, -(-K // 64) * 64)
+            dense, counts = cm.dense_cell_candidates(
+                nb ** 3, K_pad, hids, cell_start)
+            cache[key] = (dense, counts, K)
+        return cache[key]
+
+    def _grid_cell_chunk(self, ncell, F, target=1 << 18):
+        """Blocks per lax.map step: must divide ncell exactly."""
+        c = 1
+        while c * 2 * F <= target and ncell % (c * 2) == 0:
+            c *= 2
+        return c
+
+    def _grid_inv_perm(self, N, B):
+        """Row-major voxel id -> block-major position (for unsorting the
+        pass outputs), cached per (N, B)."""
+        cache = getattr(self, '_gperm_cache', None)
+        if cache is None:
+            cache = {}
+            self._gperm_cache = cache
+        if (N, B) not in cache:
+            from . import grid_cellmajor as gcm
+            perm = gcm.block_perm(N, B)    # block-major pos -> row-major
+            inv = jnp.zeros((N ** 3,), dtype=jnp.int32).at[perm].set(
+                jnp.arange(N ** 3, dtype=jnp.int32))
+            cache[(N, B)] = inv
+        return cache[(N, B)]
 
 
 def _cutout_coords(x_h, bins, half, res, Npix):
@@ -287,6 +415,9 @@ class BaryonifyGrid(DefaultRunnerGrid):
                    else nullcontext())
         R_com = arrs['R'] / a   # table masking radius, comoving
         idx_all = np.where(keep)[0]
+        if self.method == "cellmajor":
+            return self._process_cellmajor(gm, a, arrs, R_com, Nsize,
+                                           idx_all, use_rdelta, orig_map)
         with hot_ctx:
             grids_d = tuple(g.astype(dt) for g in model._grids)
             table_d = model._table.astype(dt)
@@ -340,6 +471,82 @@ class BaryonifyGrid(DefaultRunnerGrid):
             "sum(oldmap) [%0.14e]" % (new_sum, old_sum))
         return new_map
 
+    def _process_cellmajor(self, gm, a, arrs, R_com, Nsize, idx_all,
+                           use_rdelta, orig_map):
+        """Block-major dense pass (3D): see grid_cellmajor.py. Same
+        per-bucket cutout semantics as the windowed path (the kernels
+        carry the [cen - half, cen + half) window test)."""
+        from contextlib import nullcontext
+        from ..utils import x64_disabled
+        from . import grid_cellmajor as gcm
+        model = self.model
+        dt = self.dtype
+        N = gm.Npix
+        L = float(N * gm.res)
+        res = gm.res
+        self._check_gcaches()
+        hot_ctx = (x64_disabled() if dt == jnp.dtype('float32')
+                   else nullcontext())
+        with hot_ctx:
+            gz, gM, g2 = (model._grids[0].astype(dt),
+                          model._grids[1].astype(dt),
+                          model._grids[2].astype(dt))
+            z_coord = float(np.log(1.0 / a))
+            table_z, inb_z = gcm.blend_table_z(
+                model._table.astype(dt), gz, dt.type(z_coord))
+            table_z = jnp.where(jnp.isfinite(table_z), table_z, 0.0)
+            packed = self._grid_packed(arrs, R_com, dt)
+            offsets = tuple(jnp.zeros((N ** 3,), dtype=dt)
+                            for _ in range(3))
+            g2_np = np.asarray(model._grids[2])
+            if bool(inb_z):
+                for bi, idx in enumerate(
+                        _nsize_buckets(Nsize[idx_all], self.n_buckets)):
+                    sel = idx_all[idx]
+                    half = int(Nsize[sel].max() // 2)
+                    B = gcm.pick_block_size(N, max(half, 4))
+                    reach = (half + 1) * res
+                    dense, counts, K = self._grid_dense(
+                        bi, B, sel, arrs, reach, dt)
+                    nb = N // B
+                    F = B ** 3
+                    C_blk = self._grid_cell_chunk(nb ** 3, F)
+                    rad_max = (np.log(self.epsilon_max) if use_rdelta
+                               else np.log(self.epsilon_max
+                                           * R_com[sel].max()))
+                    n_hi = self._node_bound(g2_np, rad_max, len(g2_np))
+                    if self.verbose:
+                        print(f"Baryonifying matter: bucket {bi + 1} "
+                              f"({len(sel)} halos, B={B}, K={K}, F={F}, "
+                              f"C={C_blk}, n_hi={n_hi})")
+                    sel_dev = jnp.asarray(sel, dtype=jnp.int32)
+                    planes = gcm.grid_offsets_pass(
+                        use_rdelta, B, C_blk, n_hi, N, half,
+                        dense, counts, packed[sel_dev], gM, table_z,
+                        g2, float(self.epsilon_max), dt.type(L),
+                        dt.type(res), dt.type(np.asarray(gm.bins)[0]),
+                        *(jnp.zeros((N ** 3,), dtype=dt)
+                          for _ in range(3)))
+                    inv = self._grid_inv_perm(N, B)
+                    offsets = tuple(o + p[inv]
+                                    for o, p in zip(offsets, planes))
+
+            offsets_d = tuple(jnp.where(jnp.isfinite(o), o, 0.0)
+                              for o in offsets)
+            vals = jnp.asarray(orig_map.reshape(-1), dtype=dt)
+            ixy, iz = np.divmod(np.arange(N ** 3), N)
+            ix, iy = np.divmod(ixy, N)
+            new_map = np.asarray(cic_deposit_3d(
+                N, offsets_d[0] + jnp.asarray(ix, dtype=dt),
+                offsets_d[1] + jnp.asarray(iy, dtype=dt),
+                offsets_d[2] + jnp.asarray(iz, dtype=dt),
+                vals, dtype=dt))
+        new_sum, old_sum = new_map.sum(), orig_map.sum()
+        assert np.isclose(new_sum, old_sum), (
+            "ERROR in pixel regridding, sum(new_map) [%0.14e] != "
+            "sum(oldmap) [%0.14e]" % (new_sum, old_sum))
+        return new_map
+
 
 class PaintProfilesGrid(DefaultRunnerGrid):
     """Paint profiles onto a 2D/3D grid (reference
@@ -367,6 +574,9 @@ class PaintProfilesGrid(DefaultRunnerGrid):
         R_com = arrs['R']
         Nsize = (2 * self.epsilon_max * R_com / gm.res).astype(np.int64)
         Nsize = np.clip(Nsize // 2 * 2, 2, len(gm.bins) // 2)
+
+        if self.method == "cellmajor":
+            return self._paint_cellmajor(gm, a, arrs, R_com, Nsize, table)
 
         dim = 2 if gm.is2D else 3
         dt = self.dtype
@@ -401,6 +611,63 @@ class PaintProfilesGrid(DefaultRunnerGrid):
         if gm.is2D:
             return new_map.reshape(gm.Npix, gm.Npix)
         return new_map.reshape(gm.Npix, gm.Npix, gm.Npix)
+
+    def _paint_cellmajor(self, gm, a, arrs, R_com, Nsize, table):
+        """Block-major dense painting (3D; see grid_cellmajor.py)."""
+        from contextlib import nullcontext
+        from ..utils import x64_disabled
+        from . import grid_cellmajor as gcm
+        model = self.model
+        dt = self.dtype
+        N = gm.Npix
+        L = float(N * gm.res)
+        res = gm.res
+        self._check_gcaches()
+        hot_ctx = (x64_disabled() if dt == jnp.dtype('float32')
+                   else nullcontext())
+        with hot_ctx:
+            gz, gM, g2 = (model._grids[0].astype(dt),
+                          model._grids[1].astype(dt),
+                          model._grids[2].astype(dt))
+            z_coord = float(np.log(1.0 / a))
+            table_z, inb_z = gcm.blend_table_z(table.astype(dt), gz,
+                                               dt.type(z_coord))
+            # log-profile table: -inf/NaN nodes -> large negative FINITE
+            # sentinel (exp -> 0; keeps the one-hot matmuls NaN-free)
+            table_z = jnp.where(jnp.isfinite(table_z), table_z, -1e30)
+            packed = self._grid_packed(arrs, R_com, dt)
+            new_map = jnp.zeros((N ** 3,), dtype=dt)
+            g2_np = np.asarray(model._grids[2])
+            idx_all = np.arange(len(R_com))
+            if bool(inb_z):
+                for bi, idx in enumerate(
+                        _nsize_buckets(Nsize, self.n_buckets)):
+                    sel = idx_all[idx]
+                    half = int(Nsize[sel].max() // 2)
+                    B = gcm.pick_block_size(N, max(half, 4))
+                    reach = (half + 1) * res
+                    dense, counts, K = self._grid_dense(
+                        bi, B, sel, arrs, reach, dt)
+                    nb = N // B
+                    F = B ** 3
+                    C_blk = self._grid_cell_chunk(nb ** 3, F)
+                    rad_max = np.log(self.epsilon_max * R_com[sel].max())
+                    n_hi = self._node_bound(g2_np, rad_max, len(g2_np))
+                    if self.verbose:
+                        print(f"Painting Profile: bucket {bi + 1} "
+                              f"({len(sel)} halos, B={B}, K={K}, F={F}, "
+                              f"C={C_blk}, n_hi={n_hi})")
+                    sel_dev = jnp.asarray(sel, dtype=jnp.int32)
+                    out_bm = gcm.grid_paint_pass(
+                        B, C_blk, n_hi, N, half, dense, counts,
+                        packed[sel_dev], gM, table_z, g2,
+                        float(self.epsilon_max), dt.type(L),
+                        dt.type(res), dt.type(np.asarray(gm.bins)[0]),
+                        jnp.zeros((N ** 3,), dtype=dt))
+                    inv = self._grid_inv_perm(N, B)
+                    new_map = new_map + out_bm[inv]
+            new_map = np.asarray(new_map)
+        return new_map.reshape(N, N, N)
 
 
 class PaintProfilesAnisGrid(DefaultRunnerGrid):

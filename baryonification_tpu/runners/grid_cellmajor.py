@@ -1,0 +1,344 @@
+"""Cell-major kernels for the 3D grid runners: the TPU-native formulation.
+
+The windowed halo-major grid path (`grid.py`, mirroring the reference's
+per-halo cutouts in `Map2DRunner.py:394-423`) performs one (W^3) cutout
+gather + scatter-add per halo — scatter-dominated on TPU exactly like
+the shell's halo-major path was. This module inverts the loop the same
+way `shell_cellmajor.py` does for HEALPix shells:
+
+  1. voxels are processed in BLOCK-major order (B^3-voxel cubes), so all
+     F = B^3 voxels of a block are one contiguous run;
+  2. halos register into every block their reach can touch (cube
+     geometry makes the conservative margin exact: block half-diagonal
+     sqrt(3)/2 * B * res), one pair sort -> CSR -> dense (ncell, K_pad)
+     candidate matrix, cached per catalog;
+  3. one dense pass per bucket: per (block, slot) ONE row gather of the
+     halo's packed record, the radial profile row rebuilt by a one-hot
+     matmul over the mass axis (the redshift axis is blended ONCE per
+     pass — grid catalogs are single-redshift), and the same
+     segment-basis radial readout as the shell kernels.
+
+Semantics match the halo-major path bit-for-bit, including the
+reference's per-bucket cutout clipping: a halo only touches voxels
+whose per-axis index lies in the [x_cen - half, x_cen + half) window
+around its nearest bin (`Map2DRunner.py:394-423` pick_indices), so the
+per-axis window test rides along in the kernel masks.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["block_perm", "register_halos_grid", "blend_table_z",
+           "grid_offsets_pass", "grid_paint_pass", "pick_block_size"]
+
+
+def pick_block_size(N, reach_vox):
+    """Block edge (voxels): power of two dividing N, edge ~ max reach."""
+    b = 1
+    while b * 2 <= min(max(reach_vox, 1.0), N // 2):
+        b *= 2
+    while N % b:
+        b //= 2
+    return max(b, 1)
+
+
+@partial(jax.jit, static_argnames=("N", "B"))
+def block_perm(N, B):
+    """(N^3,) int32: row-major voxel id of each block-major position.
+
+    Block-major position i = b * B^3 + f with b = (bx*nb + by)*nb + bz
+    and f = (ox*B + oy)*B + oz; row-major id = (x*N + y)*N + z."""
+    nb = N // B
+    F = B * B * B
+    i = jnp.arange(N * N * N, dtype=jnp.int32)
+    b, f = i // F, i % F
+    bx, byz = b // (nb * nb), b % (nb * nb)
+    by, bz = byz // nb, byz % nb
+    ox, oyz = f // (B * B), f % (B * B)
+    oy, oz = oyz // B, oyz % B
+    return ((bx * B + ox) * N + (by * B + oy)) * N + (bz * B + oz)
+
+
+@partial(jax.jit, static_argnames=("nb", "W"))
+def register_halos_grid(nb, W, L, xh, yh, zh, reach):
+    """Register halos into every B^3-voxel block their reach may touch.
+
+    nb : blocks per axis; W : static window (blocks per axis per halo)
+    xh, yh, zh : (H,) halo positions (box coords, [0, L))
+    reach : (H,) search radius + sqrt(3)/2 block-edge margin (box units);
+            reach < 0 marks shape padding (registers nothing)
+    Returns (hids_sorted, cell_start (ncell+1,), K) like
+    shell_gather._register_halos. One compile per (nb, W).
+    """
+    H = xh.shape[0]
+    hb = L / nb
+    nc = nb * nb * nb
+    w = jnp.arange(W, dtype=jnp.int32) - (W - 1) // 2
+
+    def one(x0, y0, z0, rr):
+        c0x = jnp.floor(x0 / hb).astype(jnp.int32)
+        c0y = jnp.floor(y0 / hb).astype(jnp.int32)
+        c0z = jnp.floor(z0 / hb).astype(jnp.int32)
+        bx = jnp.mod(c0x + w, nb)
+        by = jnp.mod(c0y + w, nb)
+        bz = jnp.mod(c0z + w, nb)
+        # per-axis min-image distance from halo to block-center plane
+        def ax_ok(b, x0_):
+            ctr = (b.astype(x0_.dtype) + 0.5) * hb
+            d = ctr - x0_
+            d = d - L * jnp.round(d / L)
+            return jnp.abs(d) <= rr + 0.5 * hb
+        okx = ax_ok(bx, x0)
+        oky = ax_ok(by, y0)
+        okz = ax_ok(bz, z0)
+        cells = ((bx[:, None, None] * nb + by[None, :, None]) * nb
+                 + bz[None, None, :])
+        ok = (okx[:, None, None] & oky[None, :, None]
+              & okz[None, None, :] & (rr >= 0))
+        return cells.reshape(-1), ok.reshape(-1)
+
+    cells, valid = jax.vmap(one)(xh, yh, zh, reach)
+    cells = jnp.where(valid, cells, nc).reshape(-1).astype(jnp.int32)
+    hids = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[:, None],
+                            valid.shape).reshape(-1)
+    cells_s, hids_s = jax.lax.sort((cells, hids), num_keys=1)
+    cell_start = jnp.searchsorted(cells_s,
+                                  jnp.arange(nc + 1, dtype=jnp.int32)
+                                  ).astype(jnp.int32)
+    counts = cell_start[1:] - cell_start[:-1]
+    return hids_s, cell_start, jnp.max(counts)
+
+
+def blend_table_z(table, gz, z_coord):
+    """Blend the (Nz, NM, Nr) table down to (NM, Nr) at the catalog's
+    single log(1+z) coordinate (linear, matching ndlinear_interp's z
+    axis). Returns (table_z, inb_z)."""
+    g = gz
+    i = jnp.clip(jnp.searchsorted(g, z_coord, side="right") - 1, 0,
+                 g.shape[0] - 2)
+    t = (z_coord - g[i]) / (g[i + 1] - g[i])
+    inb = (z_coord >= g[0]) & (z_coord <= g[-1])
+    tz = (1.0 - t) * table[i] + t * table[i + 1]
+    return tz, inb
+
+
+def _blend_rows_M(lnM, gM, table_z):
+    """One-hot mass-axis blend: (C,) slot masses -> (Nr, C) profile rows
+    from the z-blended (NM, Nr) table (same arithmetic as
+    ops.interp.blend_table_radial's M axis)."""
+    g = gM
+    ge = (lnM[:, None] >= g[None, :])
+    i = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=1) - 1, 0,
+                 g.shape[0] - 2)
+    n = jnp.arange(g.shape[0], dtype=jnp.int32)
+    eq0 = (n[None, :] == i[:, None])
+    eq1 = (n[None, :] == i[:, None] + 1)
+    g_i = jnp.sum(jnp.where(eq0, g[None, :], 0.0), axis=1)
+    g_i1 = jnp.sum(jnp.where(eq1, g[None, :], 0.0), axis=1)
+    t = (lnM - g_i) / (g_i1 - g_i)
+    W = (jnp.where(eq0, (1.0 - t)[:, None], 0.0)
+         + jnp.where(eq1, t[:, None], 0.0))
+    inb = (lnM >= g[0]) & (lnM <= g[-1])
+    # (NM, Nr)^T @ (NM, C)... A_T = table_z.T @ W.T : (Nr, C)
+    A_T = table_z.T @ W.T
+    return A_T, inb
+
+
+def _segment_readout(A_T, t, n_hi):
+    tc = jnp.clip(t, 0.0, float(n_hi - 1))
+    d = jnp.broadcast_to(A_T[0][:, None], t.shape)
+    for n_node in range(n_hi - 1):
+        seg = jnp.clip(tc - float(n_node), 0.0, 1.0)
+        d = d + seg * (A_T[n_node + 1] - A_T[n_node])[:, None]
+    return d
+
+
+def _hat_readout(A_T, t, n_hi):
+    tc = jnp.clip(t, 0.0, float(n_hi - 1))
+    d = jnp.zeros_like(t)
+    for n_node in range(n_hi):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(tc - n_node))
+        d = d + w * A_T[n_node][:, None]
+    return d
+
+
+def _voxel_planes(c0, C_blk, B, nb, bins0, res, dt):
+    """(C, F) voxel-center coordinates for one chunk of blocks."""
+    F = B * B * B
+    b = c0 * C_blk + jnp.arange(C_blk, dtype=jnp.int32)
+    bx, byz = b // (nb * nb), b % (nb * nb)
+    by, bz = byz // nb, byz % nb
+    f = jnp.arange(F, dtype=jnp.int32)
+    ox, oyz = f // (B * B), f % (B * B)
+    oy, oz = oyz // B, oyz % B
+    ix = bx[:, None] * B + ox[None, :]
+    iy = by[:, None] * B + oy[None, :]
+    iz = bz[:, None] * B + oz[None, :]
+    xv = bins0 + ix.astype(dt) * res
+    yv = bins0 + iy.astype(dt) * res
+    zv = bins0 + iz.astype(dt) * res
+    return (ix, iy, iz), (xv, yv, zv)
+
+
+def _window_ok(iv, cen, half, N):
+    """Reference cutout-window test: voxel index iv is inside the
+    2*half window starting at cen - half (periodic), per axis."""
+    return jnp.mod(iv - (cen - half), N) < 2 * half
+
+
+@partial(jax.jit, static_argnames=("use_rdelta", "B", "C_blk", "n_hi",
+                                   "N", "half", "k_static"))
+def grid_offsets_pass(use_rdelta, B, C_blk, n_hi, N, half,
+                      hid_dense, counts, packed, gM, table_z, lnr_grid,
+                      eps_max, L, res, bins0, ox_o, oy_o, oz_o,
+                      k_static=None):
+    """One bucket's displacement pass over all voxels in block-major
+    order.
+
+    packed : (H, 16) [x, y, z, R_com, lnM, lnRc, cen_x, cen_y, cen_z,
+             pad...] — nearest-bin indices ride as floats (exact for
+             N <= 4096); see the runner's _grid_packed_records
+    table_z : (NM, Nr) z-blended displacement table (non-finite nodes
+              pre-sanitized to 0 by the caller)
+    half : the bucket's cutout half-window (voxels) — reproduces the
+           halo-major path's per-bucket window clipping exactly
+    Output: block-major offset planes in PIXEL units (accumulated).
+    """
+    nb = N // B
+    F = B * B * B
+    ncell = counts.shape[0]
+    K_pad = hid_dense.shape[0] // ncell
+    n_chunks = ncell // C_blk
+    dt = ox_o.dtype
+    g0 = lnr_grid[0]
+    dg = lnr_grid[1] - lnr_grid[0]
+    k_max = jnp.max(counts.reshape(n_chunks, C_blk), axis=1)
+
+    def one_chunk(c0):
+        (ix, iy, iz), (xv, yv, zv) = _voxel_planes(c0, C_blk, B, nb,
+                                                   bins0, res, dt)
+        cnt = jax.lax.dynamic_slice_in_dim(counts, c0 * C_blk, C_blk)
+        hid_blk = jax.lax.dynamic_slice_in_dim(
+            hid_dense, c0 * C_blk * K_pad,
+            C_blk * K_pad).reshape(C_blk, K_pad)
+
+        def k_body(k, acc):
+            ax, ay, az = acc
+            ok = (k < cnt)
+            hid = hid_blk[:, k]
+            rec = packed[hid]                            # (C, 16)
+            hx = rec[:, 0][:, None]
+            hy = rec[:, 1][:, None]
+            hz = rec[:, 2][:, None]
+            hR = rec[:, 3][:, None]
+            hlnR = rec[:, 5][:, None]
+            cenx = rec[:, 6][:, None].astype(jnp.int32)
+            ceny = rec[:, 7][:, None].astype(jnp.int32)
+            cenz = rec[:, 8][:, None].astype(jnp.int32)
+
+            A_T, inb_M = _blend_rows_M(rec[:, 4], gM, table_z)
+
+            dx = xv - hx
+            dx = dx - L * jnp.round(dx / L)
+            dy = yv - hy
+            dy = dy - L * jnp.round(dy / L)
+            dz = zv - hz
+            dz = dz - L * jnp.round(dz / L)
+            r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            lnr = jnp.log(jnp.maximum(r, 1e-30))
+            rad = lnr - hlnR if use_rdelta else lnr
+            t = (rad - g0) / dg
+            d = _segment_readout(A_T, t, n_hi)
+            d = jnp.where((rad >= g0) & (rad <= lnr_grid[n_hi - 1]),
+                          d, 0.0)
+            d = jnp.where(r < eps_max * hR, d, 0.0)
+            win = (_window_ok(ix, cenx, half, N)
+                   & _window_ok(iy, ceny, half, N)
+                   & _window_ok(iz, cenz, half, N))
+            live = ok & inb_M
+            d = jnp.where(win & live[:, None] & jnp.isfinite(d), d, 0.0)
+            scale = (d / res) / jnp.maximum(r, 1e-30)
+            return (ax + scale * dx, ay + scale * dy, az + scale * dz)
+
+        z = xv * jnp.zeros((), dtype=dt)
+        upper = k_max[c0] if k_static is None else k_static
+        bx_, by_, bz_ = jax.lax.fori_loop(0, upper, k_body, (z, z, z))
+        return bx_.reshape(-1), by_.reshape(-1), bz_.reshape(-1)
+
+    bx_, by_, bz_ = jax.lax.map(one_chunk, jnp.arange(n_chunks))
+    npix3 = N * N * N
+    return (ox_o + bx_.reshape(npix3), oy_o + by_.reshape(npix3),
+            oz_o + bz_.reshape(npix3))
+
+
+@partial(jax.jit, static_argnames=("B", "C_blk", "n_hi", "N", "half",
+                                   "k_static"))
+def grid_paint_pass(B, C_blk, n_hi, N, half,
+                    hid_dense, counts, packed, gM, table_z, lnr_grid,
+                    eps_max, L, res, bins0, new_map, k_static=None):
+    """Cell-major painting pass over a 3D grid (log-profile table_z —
+    non-finite nodes pre-sanitized to -1e30 by the caller; exp readout
+    via the hat form, which keeps huge sentinels inert)."""
+    nb = N // B
+    F = B * B * B
+    ncell = counts.shape[0]
+    K_pad = hid_dense.shape[0] // ncell
+    n_chunks = ncell // C_blk
+    dt = new_map.dtype
+    g0 = lnr_grid[0]
+    dg = lnr_grid[1] - lnr_grid[0]
+    k_max = jnp.max(counts.reshape(n_chunks, C_blk), axis=1)
+
+    def one_chunk(c0):
+        (ix, iy, iz), (xv, yv, zv) = _voxel_planes(c0, C_blk, B, nb,
+                                                   bins0, res, dt)
+        cnt = jax.lax.dynamic_slice_in_dim(counts, c0 * C_blk, C_blk)
+        hid_blk = jax.lax.dynamic_slice_in_dim(
+            hid_dense, c0 * C_blk * K_pad,
+            C_blk * K_pad).reshape(C_blk, K_pad)
+
+        def k_body(k, acc):
+            ok = (k < cnt)
+            hid = hid_blk[:, k]
+            rec = packed[hid]
+            hx = rec[:, 0][:, None]
+            hy = rec[:, 1][:, None]
+            hz = rec[:, 2][:, None]
+            hR = rec[:, 3][:, None]
+            cenx = rec[:, 6][:, None].astype(jnp.int32)
+            ceny = rec[:, 7][:, None].astype(jnp.int32)
+            cenz = rec[:, 8][:, None].astype(jnp.int32)
+
+            A_T, inb_M = _blend_rows_M(rec[:, 4], gM, table_z)
+
+            dx = xv - hx
+            dx = dx - L * jnp.round(dx / L)
+            dy = yv - hy
+            dy = dy - L * jnp.round(dy / L)
+            dz = zv - hz
+            dz = dz - L * jnp.round(dz / L)
+            r = jnp.maximum(jnp.sqrt(dx * dx + dy * dy + dz * dz), 1e-30)
+            lnr = jnp.log(r)
+            t = (lnr - g0) / dg
+            paint = jnp.exp(_hat_readout(A_T, t, n_hi))
+            paint = jnp.where((lnr >= g0) & (lnr <= lnr_grid[n_hi - 1]),
+                              paint, 0.0)
+            paint = jnp.where(r < eps_max * hR, paint, 0.0)
+            win = (_window_ok(ix, cenx, half, N)
+                   & _window_ok(iy, ceny, half, N)
+                   & _window_ok(iz, cenz, half, N))
+            live = ok & inb_M
+            paint = jnp.where(win & live[:, None]
+                              & jnp.isfinite(paint), paint, 0.0)
+            return acc + paint
+
+        z = xv * jnp.zeros((), dtype=dt)
+        upper = k_max[c0] if k_static is None else k_static
+        out = jax.lax.fori_loop(0, upper, k_body, z)
+        return out.reshape(-1)
+
+    out = jax.lax.map(one_chunk, jnp.arange(n_chunks))
+    return new_map + out.reshape(N * N * N)

@@ -429,6 +429,82 @@ class TestBaryonifyGrid:
         assert not np.allclose(new_map, gm.map)
 
 
+class TestGridCellMajor:
+    """Block-major dense grid kernels (grid_cellmajor.py) must match the
+    windowed halo-major path bit-for-bit-ish (same bucket windows, same
+    trilinear readout arithmetic)."""
+
+    @pytest.fixture(scope="class")
+    def grid3d(self):
+        rng = np.random.default_rng(21)
+        N, L = 32, 80.0
+        bins = (np.arange(N) + 0.5) * (L / N)
+        n = 14
+        cat = HaloNDCatalog(x=rng.uniform(0, L, n),
+                            y=rng.uniform(0, L, n),
+                            z=rng.uniform(0, L, n),
+                            M=10 ** rng.uniform(13.6, 14.8, n),
+                            redshift=0.25, cosmo=COSMO_DICT)
+        gm = GriddedMap(map=rng.uniform(0.5, 1.5, (N, N, N)),
+                        redshift=0.25, bins=bins, cosmo=COSMO_DICT)
+        return cat, gm
+
+    def test_baryonify_3d_cellmajor_matches_scatter(self, grid3d,
+                                                    displ3d):
+        cat, gm = grid3d
+        m_sc = BaryonifyGrid(cat, gm, epsilon_max=10, model=displ3d,
+                             method="scatter", verbose=False).process()
+        m_cm = BaryonifyGrid(cat, gm, epsilon_max=10, model=displ3d,
+                             method="cellmajor", verbose=False).process()
+        assert np.isclose(m_cm.sum(), gm.map.sum(), rtol=1e-8)
+        scale = np.abs(m_sc - gm.map).max()
+        assert scale > 0
+        np.testing.assert_allclose(m_cm, m_sc, atol=1e-8 * scale,
+                                   rtol=1e-8)
+
+    def test_baryonify_3d_cellmajor_rdelta(self, grid3d, cosmo):
+        from baryonification_tpu.displacement import Baryonification3D
+        from baryonification_tpu.profiles import (DarkMatterOnly,
+                                                  DarkMatterBaryon)
+        cat, gm = grid3d
+        model = Baryonification3D(DarkMatterOnly(**PAR),
+                                  DarkMatterBaryon(**PAR), cosmo,
+                                  epsilon_max=10)
+        model.setup_interpolator(z_min=0.1, z_max=0.6, N_samples_z=2,
+                                 M_min=1e13, M_max=1e15, N_samples_Mass=4,
+                                 R_min=1e-2, R_max=30, N_samples_R=48,
+                                 Rdelta_sampling=True)
+        m_sc = BaryonifyGrid(cat, gm, epsilon_max=10, model=model,
+                             method="scatter", verbose=False).process()
+        m_cm = BaryonifyGrid(cat, gm, epsilon_max=10, model=model,
+                             method="cellmajor", verbose=False).process()
+        scale = np.abs(m_sc - gm.map).max()
+        assert scale > 0
+        np.testing.assert_allclose(m_cm, m_sc, atol=1e-8 * scale,
+                                   rtol=1e-8)
+
+    def test_paint_3d_cellmajor_matches_scatter(self, grid3d, cosmo):
+        cat, gm = grid3d
+        gas = TabulatedProfile(Gas(**PAR), cosmo)
+        gas.setup_interpolator(z_min=0.05, z_max=0.6, N_samples_z=4,
+                               M_min=1e13, M_max=1e15, N_samples_Mass=6,
+                               R_min=1e-3, R_max=70, N_samples_R=48)
+        p_sc = PaintProfilesGrid(cat, gm, epsilon_max=5, model=gas,
+                                 method="scatter", verbose=False).process()
+        p_cm = PaintProfilesGrid(cat, gm, epsilon_max=5, model=gas,
+                                 method="cellmajor",
+                                 verbose=False).process()
+        assert p_sc.sum() > 0
+        np.testing.assert_allclose(p_cm, p_sc, rtol=1e-8,
+                                   atol=1e-10 * p_sc.max())
+
+    def test_cellmajor_rejects_2d(self, grid_setup_2d, displ2d):
+        cat, gm = grid_setup_2d
+        with pytest.raises(ValueError):
+            BaryonifyGrid(cat, gm, epsilon_max=20, model=displ2d,
+                          method="cellmajor")
+
+
 class TestPaintGrid:
     def test_paint_2d(self, grid_setup_2d, cosmo):
         cat, gm = grid_setup_2d
