@@ -54,7 +54,7 @@ class DefaultRunnerSnapshot:
 
     def __init__(self, HaloNDCatalog, ParticleSnapshot, epsilon_max, model,
                  mass_def=None, verbose=True, halo_chunk=32, n_buckets=4,
-                 n_cells=None, precision="auto"):
+                 n_cells=None, precision="auto", method="auto"):
         self.HaloNDCatalog = HaloNDCatalog
         self.ParticleSnapshot = ParticleSnapshot
         self.epsilon_max = epsilon_max
@@ -68,6 +68,21 @@ class DefaultRunnerSnapshot:
             precision = ("float64" if jax.default_backend() == "cpu"
                          else "float32")
         self.dtype = jnp.dtype(precision)
+        # 'cellmajor': particle-major dense pass, zero per-call gathers
+        # on the particle side (snapshot_cellmajor.py); 'gather': the
+        # per-halo K^dim cell-block formulation (the only path for 2D
+        # snapshots or extra parameter axes). auto: cellmajor where
+        # eligible on accelerators.
+        p_keys = getattr(model, 'p_keys', []) or []
+        eligible = (not ParticleSnapshot.is2D and not p_keys)
+        if method == "auto":
+            method = ("cellmajor" if eligible
+                      and jax.default_backend() != "cpu" else "gather")
+        if method == "cellmajor" and not eligible:
+            raise ValueError(
+                "method='cellmajor' supports 3D snapshots without extra "
+                "parameter axes; use 'gather'")
+        self.method = method
 
         coords = (['x', 'y'] if ParticleSnapshot.is2D else ['x', 'y', 'z'])
         self._coords = np.stack([ParticleSnapshot.cat[c] for c in coords],
@@ -77,6 +92,10 @@ class DefaultRunnerSnapshot:
             npart = len(self._coords)
             n_cells = int(np.clip(round(npart ** (1 / len(coords)) / 2),
                                   4, 512))
+        if self.method == "cellmajor":
+            # power-of-two cell counts keep the chunked dense pass's
+            # cell axis evenly divisible
+            n_cells = int(2 ** np.clip(round(np.log2(n_cells)), 2, 9))
         self.tree = CellList(self._coords, ParticleSnapshot.L, n_cells)
 
 
@@ -187,6 +206,9 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
         from ..utils import x64_disabled
         hot_ctx = (x64_disabled() if dt == jnp.dtype('float32')
                    else nullcontext())
+        if self.method == "cellmajor":
+            return self._process_cellmajor(snap, L, cat, a, R_com, R_q,
+                                           xh, use_rdelta, hot_ctx)
         with hot_ctx:
             grids_d = tuple(g.astype(dt) for g in model._grids)
             table_d = model._table.astype(dt)
@@ -227,6 +249,136 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
 
         new_cat = snap.cat.copy()
         for d, cname in enumerate(coords_h):
+            pos = new_cat[cname] + tot[:, d]
+            pos = np.where(pos > L, pos - L, pos)
+            pos = np.where(pos < 0, pos + L, pos)
+            new_cat[cname] = pos
+        return new_cat
+
+    # ----- cell-major path -----
+    def _cm_staging(self, dt):
+        """Padded per-cell particle planes + packed-slot map, cached."""
+        cache = getattr(self, '_cmstage_cache', None)
+        if cache is None:
+            cache = {}
+            self._cmstage_cache = cache
+        key = str(dt)
+        if key not in cache:
+            from . import snapshot_cellmajor as scm
+            tree = self.tree
+            P_pad = max(tree.max_per_cell, 1)
+            planes, counts_p, pad_idx = scm.pad_particles_by_cell(
+                tree, self._coords, P_pad)
+            cache[key] = (P_pad,
+                          tuple(jnp.asarray(p, dtype=dt) for p in planes),
+                          jnp.asarray(counts_p),
+                          jnp.asarray(pad_idx, dtype=jnp.int32))
+        return cache[key]
+
+    def _cm_dense(self, bi, sel, xh, reach, dt):
+        """Dense cell-list candidates for one bucket, cached."""
+        cache = getattr(self, '_cmdense_cache', None)
+        if cache is None:
+            cache = {}
+            self._cmdense_cache = cache
+        key = (bi, str(dt))
+        if key not in cache:
+            from . import grid_cellmajor as gcm
+            from . import shell_cellmajor as cm
+            tree = self.tree
+            nb = tree.n_cells
+            L = tree.L
+            hb = tree.h
+            W = min(2 * int(np.ceil(reach / hb + 1.0)) + 1, nb)
+            H = len(sel)
+            step = max(256, 1 << max(max(H - 1, 1).bit_length() - 3, 0))
+            H_pad = -(-H // step) * step
+            pad = lambda v, fill: np.concatenate(
+                [v, np.full(H_pad - H, fill)]) if H_pad > H else v
+            xm = np.mod(xh[sel], L)
+            hids, cell_start, K = gcm.register_halos_grid(
+                nb, W, dt.type(L),
+                jnp.asarray(pad(xm[:, 0], 0.0), dtype=dt),
+                jnp.asarray(pad(xm[:, 1], 0.0), dtype=dt),
+                jnp.asarray(pad(xm[:, 2], 0.0), dtype=dt),
+                jnp.asarray(pad(np.full(H, reach), -1.0), dtype=dt))
+            K = int(K)
+            K_pad = max(64, -(-K // 64) * 64)
+            dense, counts = cm.dense_cell_candidates(
+                nb ** 3, K_pad, hids, cell_start)
+            cache[key] = (dense, counts, K)
+        return cache[key]
+
+    @staticmethod
+    def _node_bound(g2, rad_max, Nr):
+        n_hi = int(np.floor((rad_max - g2[0]) / (g2[1] - g2[0]))) + 2
+        return min(Nr, max(32, -(-n_hi // 32) * 32))
+
+    def _process_cellmajor(self, snap, L, cat, a, R_com, R_q, xh,
+                           use_rdelta, hot_ctx):
+        """Particle-major dense pass (see snapshot_cellmajor.py)."""
+        from . import grid_cellmajor as gcm
+        from . import snapshot_cellmajor as scm
+        model = self.model
+        tree = self.tree
+        dt = self.dtype
+        nb = tree.n_cells
+        ncell = nb ** 3
+        with hot_ctx:
+            gz = model._grids[0].astype(dt)
+            gM = model._grids[1].astype(dt)
+            g2 = model._grids[2].astype(dt)
+            z_coord = float(np.log(1.0 + self.HaloNDCatalog.redshift))
+            table_z, inb_z = gcm.blend_table_z(
+                model._table.astype(dt), gz, dt.type(z_coord))
+            table_z = jnp.where(jnp.isfinite(table_z), table_z, 0.0)
+            P_pad, (px, py, pz), counts_p, pad_idx = self._cm_staging(dt)
+            # packed halo records (positions wrapped into [0, L))
+            H = len(xh)
+            cols = np.zeros((H, 16))
+            cols[:, :3] = np.mod(xh, L)
+            cols[:, 3] = R_com
+            cols[:, 4] = np.log(cat['M'])
+            cols[:, 5] = np.log(R_com)
+            packed = jnp.asarray(cols, dtype=dt)
+            g2_np = np.asarray(model._grids[2])
+            zeros = jnp.zeros((ncell * P_pad,), dtype=dt)
+            off_pad = (zeros, zeros, zeros)
+            C_blk = 1
+            target = 1 << 18
+            while (C_blk * 2 * P_pad <= target
+                   and ncell % (C_blk * 2) == 0):
+                C_blk *= 2
+            if bool(inb_z):
+                order = np.argsort(R_q)
+                for bi, idx in enumerate(
+                        [s for s in np.array_split(order, self.n_buckets)
+                         if s.size > 0]):
+                    reach = float(R_q[idx].max()) \
+                        + np.sqrt(3.0) / 2.0 * tree.h
+                    dense, counts_h, K = self._cm_dense(bi, idx, xh,
+                                                        reach, dt)
+                    rad_max = (np.log(self.epsilon_max) if use_rdelta
+                               else np.log(self.epsilon_max
+                                           * R_com[idx].max()))
+                    n_hi = self._node_bound(g2_np, rad_max, len(g2_np))
+                    if self.verbose:
+                        print(f"Baryonifying matter: bucket {bi + 1} "
+                              f"({len(idx)} halos, n_cells={nb}, K={K}, "
+                              f"P={P_pad}, C={C_blk}, n_hi={n_hi})")
+                    sel_dev = jnp.asarray(idx, dtype=jnp.int32)
+                    off_pad = scm.snapshot_offsets_pass(
+                        use_rdelta, P_pad, C_blk, n_hi, dense, counts_h,
+                        px, py, pz, counts_p, packed[sel_dev], gM,
+                        table_z, g2, float(self.epsilon_max),
+                        dt.type(a), dt.type(L), *off_pad)
+            # unpad: sorted-particle order, then the original unsort
+            off_np = np.stack([np.asarray(o[pad_idx]) for o in off_pad],
+                              axis=-1)
+        tot = np.zeros_like(off_np)
+        tot[tree.order] = off_np
+        new_cat = snap.cat.copy()
+        for d, cname in enumerate(['x', 'y', 'z']):
             pos = new_cat[cname] + tot[:, d]
             pos = np.where(pos > L, pos - L, pos)
             pos = np.where(pos < 0, pos + L, pos)

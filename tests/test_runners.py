@@ -557,6 +557,34 @@ class TestPaintAnisGrid:
 
 
 class TestBaryonifySnapshot:
+    def test_cellmajor_matches_gather(self, displ3d):
+        """The particle-major dense pass (snapshot_cellmajor.py) must
+        reproduce the halo-major cell-block gather path exactly."""
+        rng = np.random.default_rng(17)
+        L = 70.0
+        n_part = 6000
+        snap = ParticleSnapshot(x=rng.uniform(0, L, n_part),
+                                y=rng.uniform(0, L, n_part),
+                                z=rng.uniform(0, L, n_part),
+                                M=np.ones(n_part), L=L, redshift=0.25,
+                                cosmo=COSMO_DICT)
+        n_halo = 10
+        cat = HaloNDCatalog(x=rng.uniform(0, L, n_halo),
+                            y=rng.uniform(0, L, n_halo),
+                            z=rng.uniform(0, L, n_halo),
+                            M=10 ** rng.uniform(13.8, 14.7, n_halo),
+                            redshift=0.25, cosmo=COSMO_DICT)
+        got_g = BaryonifySnapshot(cat, snap, epsilon_max=10,
+                                  model=displ3d, method="gather",
+                                  verbose=False).process()
+        got_c = BaryonifySnapshot(cat, snap, epsilon_max=10,
+                                  model=displ3d, method="cellmajor",
+                                  verbose=False).process()
+        for c in 'xyz':
+            np.testing.assert_allclose(got_c[c], got_g[c], rtol=1e-10,
+                                       atol=1e-10)
+        assert any(not np.allclose(got_g[c], snap.cat[c]) for c in 'xyz')
+
     def test_displacements(self, displ3d):
         rng = np.random.default_rng(14)
         L = 80.0
