@@ -314,6 +314,102 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
         n_hi = int(np.floor((rad_max - g2[0]) / (g2[1] - g2[0]))) + 2
         return min(Nr, max(32, -(-n_hi // 32) * 32))
 
+    def process_device(self, table=None):
+        """Differentiable, device-resident displacement.
+
+        Counterpart of ``BaryonifyShell.process_device`` for particle
+        snapshots: returns the displaced (x, y, z) positions in the
+        ORIGINAL particle order as device arrays. ``table`` (default
+        ``model._table``) may be traced, so gradients flow from any
+        scalar of the displaced positions (e.g. a P(k) band from
+        ``ops.spectra.power_spectrum_3d``) back through the radial
+        readout into the displacement table and on into baryon
+        parameters via ``build_table_device`` — the differentiable
+        dP(k) path. Requires method='cellmajor' staging; geometry
+        (cell list, padded particle planes, registrations) is constant.
+        """
+        assert self.method == "cellmajor", (
+            "process_device requires the cell-major snapshot method")
+        from contextlib import nullcontext
+        from ..utils import x64_disabled
+        from . import grid_cellmajor as gcm
+        from . import snapshot_cellmajor as scm
+        cosmo = Cosmology.from_dict(self.cosmo)
+        model = self.model
+        if table is None:
+            table = model._table
+        snap = self.ParticleSnapshot
+        L = float(snap.L)
+        cat = self.HaloNDCatalog.cat
+        a = 1.0 / (1.0 + self.HaloNDCatalog.redshift)
+        R_phys = np.asarray(self.mass_def.get_radius(cosmo, cat['M'], a))
+        R_com = R_phys / a
+        R_q = np.clip(self.epsilon_max * R_com, 0, L / 2)
+        xh = np.stack([cat[c] for c in 'xyz'], axis=-1)
+        use_rdelta = bool(getattr(model, 'Rdelta_sampling', False))
+        tree = self.tree
+        dt = self.dtype
+        nb = tree.n_cells
+        ncell = nb ** 3
+        hot_ctx = (x64_disabled() if dt == jnp.dtype('float32')
+                   else nullcontext())
+        with hot_ctx:
+            gz = model._grids[0].astype(dt)
+            gM = model._grids[1].astype(dt)
+            g2 = model._grids[2].astype(dt)
+            table = jnp.asarray(table).astype(dt)
+            z_coord = dt.type(np.log(1.0 + self.HaloNDCatalog.redshift))
+            table_z, inb_z = gcm.blend_table_z(table, gz, z_coord)
+            table_z = jnp.where(jnp.isfinite(table_z), table_z, 0.0)
+            # out-of-range catalog redshift -> zero displacement (the
+            # halo-major path's NaN -> 0 soft degradation)
+            table_z = jnp.where(inb_z, table_z, 0.0)
+            P_pad, (px, py, pz), counts_p, pad_idx = self._cm_staging(dt)
+            H = len(xh)
+            cols = np.zeros((H, 16))
+            cols[:, :3] = np.mod(xh, L)
+            cols[:, 3] = R_com
+            cols[:, 4] = np.log(cat['M'])
+            cols[:, 5] = np.log(R_com)
+            packed = jnp.asarray(cols, dtype=dt)
+            g2_np = np.asarray(model._grids[2])
+            zeros = jnp.zeros((ncell * P_pad,), dtype=dt)
+            off_pad = (zeros, zeros, zeros)
+            C_blk = 1
+            while (C_blk * 2 * P_pad <= (1 << 18)
+                   and ncell % (C_blk * 2) == 0):
+                C_blk *= 2
+            order = np.argsort(R_q)
+            for bi, idx in enumerate(
+                    [s for s in np.array_split(order, self.n_buckets)
+                     if s.size > 0]):
+                reach = float(R_q[idx].max()) + np.sqrt(3.0) / 2.0 * tree.h
+                dense, counts_h, K = self._cm_dense(bi, idx, xh, reach,
+                                                    dt)
+                rad_max = (np.log(self.epsilon_max) if use_rdelta
+                           else np.log(self.epsilon_max
+                                       * R_com[idx].max()))
+                n_hi = self._node_bound(g2_np, rad_max, len(g2_np))
+                sel_dev = jnp.asarray(idx, dtype=jnp.int32)
+                off_pad = scm.snapshot_offsets_pass(
+                    use_rdelta, P_pad, C_blk, n_hi, dense, counts_h,
+                    px, py, pz, counts_p, packed[sel_dev], gM,
+                    table_z, g2, float(self.epsilon_max),
+                    dt.type(a), dt.type(L), *off_pad,
+                    k_static=max(int(K), 1))
+            # unpad (sorted order) -> unsort (original order) -> update
+            order_dev = jnp.asarray(tree.order, dtype=jnp.int32)
+            out = []
+            for d, cname in enumerate('xyz'):
+                off_sorted = off_pad[d][pad_idx]
+                off = jnp.zeros_like(off_sorted).at[order_dev].set(
+                    off_sorted)
+                pos = jnp.asarray(snap.cat[cname], dtype=dt) + off
+                pos = jnp.where(pos > L, pos - L, pos)
+                pos = jnp.where(pos < 0, pos + L, pos)
+                out.append(pos)
+        return tuple(out)
+
     def _process_cellmajor(self, snap, L, cat, a, R_com, R_q, xh,
                            use_rdelta, hot_ctx):
         """Particle-major dense pass (see snapshot_cellmajor.py)."""

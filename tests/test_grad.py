@@ -224,3 +224,67 @@ class TestPaintGradients:
         fd = float((f(x0 + eps) - f(x0 - eps)) / (2 * eps))
         assert np.isfinite(g) and g != 0
         np.testing.assert_allclose(g, fd, rtol=1e-3)
+
+
+class TestSnapshotGradients:
+    """Differentiable particle displacement: table -> displaced
+    positions -> P(k)-style summaries (the dP(k) fitting chain)."""
+
+    @pytest.fixture(scope="class")
+    def staged_snap(self, cosmo):
+        from baryonification_tpu import HaloNDCatalog, ParticleSnapshot
+        from baryonification_tpu.displacement import Baryonification3D
+        from baryonification_tpu.profiles import (DarkMatterOnly,
+                                                  DarkMatterBaryon)
+        from baryonification_tpu.runners import BaryonifySnapshot
+
+        COSMO_DICT = dict(Omega_m=0.3, Omega_b=0.05, h=0.7, sigma8=0.8,
+                          n_s=0.96, w0=-1.0)
+        model = Baryonification3D(DarkMatterOnly(**PAR),
+                                  DarkMatterBaryon(**PAR), cosmo,
+                                  epsilon_max=10)
+        model.setup_interpolator(z_min=0.05, z_max=0.6, N_samples_z=4,
+                                 M_min=1e13, M_max=1e15, N_samples_Mass=6,
+                                 R_min=1e-3, R_max=70, N_samples_R=64)
+        rng = np.random.default_rng(23)
+        L = 70.0
+        snap = ParticleSnapshot(x=rng.uniform(0, L, 4000),
+                                y=rng.uniform(0, L, 4000),
+                                z=rng.uniform(0, L, 4000),
+                                M=np.ones(4000), L=L, redshift=0.25,
+                                cosmo=COSMO_DICT)
+        cat = HaloNDCatalog(x=rng.uniform(0, L, 8),
+                            y=rng.uniform(0, L, 8),
+                            z=rng.uniform(0, L, 8),
+                            M=10 ** rng.uniform(13.9, 14.7, 8),
+                            redshift=0.25, cosmo=COSMO_DICT)
+        runner = BaryonifySnapshot(cat, snap, epsilon_max=10,
+                                   model=model, method="cellmajor",
+                                   verbose=False)
+        return runner, model, snap
+
+    def test_process_device_matches_process(self, staged_snap):
+        runner, model, snap = staged_snap
+        want = runner.process()
+        got = runner.process_device()
+        for c, g in zip('xyz', got):
+            np.testing.assert_allclose(np.asarray(g), want[c],
+                                       rtol=0, atol=1e-12)
+
+    def test_grad_wrt_table(self, staged_snap):
+        runner, model, snap = staged_snap
+        tab = model._table
+        x0 = jnp.asarray(snap.cat['x'])
+
+        def f(s):
+            x, y, z = runner.process_device(tab * s)
+            # displacement second moment: smooth, non-conserved
+            d = x - x0
+            d = jnp.where(d > 35.0, d - 70.0, d)
+            d = jnp.where(d < -35.0, d + 70.0, d)
+            return jnp.sum(d * d)
+
+        g = float(jax.grad(f)(1.0))
+        fd = float((f(1.0 + 1e-6) - f(1.0 - 1e-6)) / 2e-6)
+        assert np.isfinite(g) and g != 0
+        np.testing.assert_allclose(g, fd, rtol=1e-6)
