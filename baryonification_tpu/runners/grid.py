@@ -169,7 +169,12 @@ class DefaultRunnerGrid:
         return cache[key]
 
     def _grid_dense(self, bi, B, sel, arrs, reach, dt):
-        """Dense block candidates for one bucket (cached per catalog)."""
+        """Dense block candidates for one bucket (cached per catalog).
+
+        Returns (dense, counts, K, B_eff): like the shell path, the
+        candidate lists are REFINED to finer blocks while K is
+        margin-dominated (grid_cellmajor.refine_block_candidates) —
+        pass work is npix * K."""
         cache = getattr(self, '_gdense_cache', None)
         if cache is None:
             cache = {}
@@ -193,17 +198,36 @@ class DefaultRunnerGrid:
                 [v, np.full(H_pad - H, fill)]) if H_pad > H else v
             rr = np.full(H, reach)
             x0 = np.asarray(gm.bins)[0] - gm.res / 2
+            xs = np.mod(arrs['x'][sel] - x0, L)
+            ys = np.mod(arrs['y'][sel] - x0, L)
+            zs = np.mod(arrs['z'][sel] - x0, L)
             hids, cell_start, K = gcm.register_halos_grid(
                 nb, W, dt.type(L),
-                jnp.asarray(pad(arrs['x'][sel] - x0, 0.0), dtype=dt),
-                jnp.asarray(pad(arrs['y'][sel] - x0, 0.0), dtype=dt),
-                jnp.asarray(pad(arrs['z'][sel] - x0, 0.0), dtype=dt),
+                jnp.asarray(pad(xs, 0.0), dtype=dt),
+                jnp.asarray(pad(ys, 0.0), dtype=dt),
+                jnp.asarray(pad(zs, 0.0), dtype=dt),
                 jnp.asarray(pad(rr, -1.0), dtype=dt))
             K = int(K)
             K_pad = max(64, -(-K // 64) * 64)
             dense, counts = cm.dense_cell_candidates(
                 nb ** 3, K_pad, hids, cell_start)
-            cache[key] = (dense, counts, K)
+            # refinement: shifted positions ride in a local record bank
+            hrec = np.zeros((H, 16))
+            hrec[:, 0], hrec[:, 1], hrec[:, 2] = xs, ys, zs
+            hrec_d = jnp.asarray(hrec, dtype=dt)
+            B_eff = B
+            k_min = getattr(self, 'refine_k_min', 48)
+            while K >= k_min and B_eff % 2 == 0 and B_eff // 2 >= 4:
+                B_eff //= 2
+                nb2 = N // B_eff
+                dense2d, counts, K_dev = gcm.refine_block_candidates(
+                    nb2, dense, counts, hrec_d, dt.type(reach),
+                    dt.type(L / nb2), dt.type(L))
+                K = int(K_dev)
+                K_pad = max(64, -(-K // 64) * 64)
+                dense = dense2d[:, :min(K_pad,
+                                        dense2d.shape[1])].reshape(-1)
+            cache[key] = (dense, counts, K, B_eff)
         return cache[key]
 
     def _grid_cell_chunk(self, ncell, F, target=1 << 18):
@@ -506,10 +530,10 @@ class BaryonifyGrid(DefaultRunnerGrid):
                     half = int(Nsize[sel].max() // 2)
                     B = gcm.pick_block_size(N, max(half, 4))
                     reach = (half + 1) * res
-                    dense, counts, K = self._grid_dense(
+                    dense, counts, K, B_eff = self._grid_dense(
                         bi, B, sel, arrs, reach, dt)
-                    nb = N // B
-                    F = B ** 3
+                    nb = N // B_eff
+                    F = B_eff ** 3
                     C_blk = self._grid_cell_chunk(nb ** 3, F)
                     rad_max = (np.log(self.epsilon_max) if use_rdelta
                                else np.log(self.epsilon_max
@@ -517,17 +541,17 @@ class BaryonifyGrid(DefaultRunnerGrid):
                     n_hi = self._node_bound(g2_np, rad_max, len(g2_np))
                     if self.verbose:
                         print(f"Baryonifying matter: bucket {bi + 1} "
-                              f"({len(sel)} halos, B={B}, K={K}, F={F}, "
-                              f"C={C_blk}, n_hi={n_hi})")
+                              f"({len(sel)} halos, B={B}->{B_eff}, "
+                              f"K={K}, F={F}, C={C_blk}, n_hi={n_hi})")
                     sel_dev = jnp.asarray(sel, dtype=jnp.int32)
                     planes = gcm.grid_offsets_pass(
-                        use_rdelta, B, C_blk, n_hi, N, half,
+                        use_rdelta, B_eff, C_blk, n_hi, N, half,
                         dense, counts, packed[sel_dev], gM, table_z,
                         g2, float(self.epsilon_max), dt.type(L),
                         dt.type(res), dt.type(np.asarray(gm.bins)[0]),
                         *(jnp.zeros((N ** 3,), dtype=dt)
                           for _ in range(3)))
-                    inv = self._grid_inv_perm(N, B)
+                    inv = self._grid_inv_perm(N, B_eff)
                     offsets = tuple(o + p[inv]
                                     for o, p in zip(offsets, planes))
 
@@ -646,25 +670,25 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                     half = int(Nsize[sel].max() // 2)
                     B = gcm.pick_block_size(N, max(half, 4))
                     reach = (half + 1) * res
-                    dense, counts, K = self._grid_dense(
+                    dense, counts, K, B_eff = self._grid_dense(
                         bi, B, sel, arrs, reach, dt)
-                    nb = N // B
-                    F = B ** 3
+                    nb = N // B_eff
+                    F = B_eff ** 3
                     C_blk = self._grid_cell_chunk(nb ** 3, F)
                     rad_max = np.log(self.epsilon_max * R_com[sel].max())
                     n_hi = self._node_bound(g2_np, rad_max, len(g2_np))
                     if self.verbose:
                         print(f"Painting Profile: bucket {bi + 1} "
-                              f"({len(sel)} halos, B={B}, K={K}, F={F}, "
-                              f"C={C_blk}, n_hi={n_hi})")
+                              f"({len(sel)} halos, B={B}->{B_eff}, "
+                              f"K={K}, F={F}, C={C_blk}, n_hi={n_hi})")
                     sel_dev = jnp.asarray(sel, dtype=jnp.int32)
                     out_bm = gcm.grid_paint_pass(
-                        B, C_blk, n_hi, N, half, dense, counts,
+                        B_eff, C_blk, n_hi, N, half, dense, counts,
                         packed[sel_dev], gM, table_z, g2,
                         float(self.epsilon_max), dt.type(L),
                         dt.type(res), dt.type(np.asarray(gm.bins)[0]),
                         jnp.zeros((N ** 3,), dtype=dt))
-                    inv = self._grid_inv_perm(N, B)
+                    inv = self._grid_inv_perm(N, B_eff)
                     new_map = new_map + out_bm[inv]
             new_map = np.asarray(new_map)
         return new_map.reshape(N, N, N)

@@ -112,6 +112,49 @@ def register_halos_grid(nb, W, L, xh, yh, zh, reach):
     return hids_s, cell_start, jnp.max(counts)
 
 
+@partial(jax.jit, static_argnames=("nb_child",))
+def refine_block_candidates(nb_child, dense_parent, counts_parent,
+                            packed, reach, hb_child, L):
+    """Split blocks 2x finer per axis and re-filter each parent list.
+
+    Registration margins add ~hb/2 per axis to the halo reach; at the
+    natural level (hb ~ reach) that inflates K — which the pass's work
+    is proportional to — by ~(3/2)^3. Each refinement level halves the
+    margin (the cube analog of shell_cellmajor.refine_cell_candidates,
+    with closed-form child centers and a SCALAR per-bucket reach).
+
+    dense_parent : ((nb_child/2)^3 * K_pad,) row-major block candidates
+    packed : (H, 16) grid halo records (cols 0..2 = box positions)
+    reach : scalar — (half+1) * res, the bucket's per-axis support
+    Returns (dense_child (nc_child, K_pad), counts_child, K_dev).
+    """
+    nbp = nb_child // 2
+    K_pad = dense_parent.shape[0] // (nbp ** 3)
+    nc = nb_child ** 3
+    c = jnp.arange(nc, dtype=jnp.int32)
+    cx, cyz = c // (nb_child * nb_child), c % (nb_child * nb_child)
+    cy, cz = cyz // nb_child, cyz % nb_child
+    pid = ((cx // 2) * nbp + (cy // 2)) * nbp + (cz // 2)
+    hid = dense_parent.reshape(nbp ** 3, K_pad)[pid]     # (nc, K_pad)
+    cnt = counts_parent[pid]
+    k = jnp.arange(K_pad, dtype=jnp.int32)[None, :]
+    rec = packed[hid.reshape(-1)]
+    dt = rec.dtype
+    lim = reach + 0.5 * hb_child
+
+    def ax_ok(ci, col):
+        ctr = (ci.astype(dt) + 0.5) * hb_child
+        d = ctr[:, None] - rec[:, col].reshape(nc, K_pad)
+        d = d - L * jnp.round(d / L)
+        return jnp.abs(d) <= lim
+
+    ok = (k < cnt[:, None]) & ax_ok(cx, 0) & ax_ok(cy, 1) & ax_ok(cz, 2)
+    keys = jnp.where(ok, k, K_pad + k)
+    _, hid_s = jax.lax.sort((keys, hid), num_keys=1)
+    counts_child = jnp.sum(ok, axis=1).astype(jnp.int32)
+    return hid_s, counts_child, jnp.max(counts_child)
+
+
 def blend_table_z(table, gz, z_coord):
     """Blend the (Nz, NM, Nr) table down to (NM, Nr) at the catalog's
     single log(1+z) coordinate (linear, matching ndlinear_interp's z

@@ -276,7 +276,14 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
         return cache[key]
 
     def _cm_dense(self, bi, sel, xh, reach, dt):
-        """Dense cell-list candidates for one bucket, cached."""
+        """Dense cell-list candidates for one bucket, cached.
+
+        For wide-reach buckets the registration runs at a COARSER block
+        level (2x/4x/8x the cell size — window rows scale as W^3, and
+        the pair sort over H * W^3 rows is the memory hot spot at
+        1e5-halo scale) and is then refined back down to the cell level
+        with cheap per-axis filters (grid_cellmajor.
+        refine_block_candidates)."""
         cache = getattr(self, '_cmdense_cache', None)
         if cache is None:
             cache = {}
@@ -288,8 +295,15 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
             tree = self.tree
             nb = tree.n_cells
             L = tree.L
-            hb = tree.h
-            W = min(2 * int(np.ceil(reach / hb + 1.0)) + 1, nb)
+            # register coarse enough that the per-halo window stays small
+            levels = 0
+            nb_reg = nb
+            while (2 * int(np.ceil(reach / (L / nb_reg) + 1.0)) + 1 > 9
+                   and nb_reg % 2 == 0 and nb_reg > 8 and levels < 3):
+                nb_reg //= 2
+                levels += 1
+            W = min(2 * int(np.ceil(reach / (L / nb_reg) + 1.0)) + 1,
+                    nb_reg)
             H = len(sel)
             step = max(256, 1 << max(max(H - 1, 1).bit_length() - 3, 0))
             H_pad = -(-H // step) * step
@@ -297,7 +311,7 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
                 [v, np.full(H_pad - H, fill)]) if H_pad > H else v
             xm = np.mod(xh[sel], L)
             hids, cell_start, K = gcm.register_halos_grid(
-                nb, W, dt.type(L),
+                nb_reg, W, dt.type(L),
                 jnp.asarray(pad(xm[:, 0], 0.0), dtype=dt),
                 jnp.asarray(pad(xm[:, 1], 0.0), dtype=dt),
                 jnp.asarray(pad(xm[:, 2], 0.0), dtype=dt),
@@ -305,7 +319,20 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
             K = int(K)
             K_pad = max(64, -(-K // 64) * 64)
             dense, counts = cm.dense_cell_candidates(
-                nb ** 3, K_pad, hids, cell_start)
+                nb_reg ** 3, K_pad, hids, cell_start)
+            if levels:
+                hrec = np.zeros((H, 16))
+                hrec[:, 0], hrec[:, 1], hrec[:, 2] = xm.T
+                hrec_d = jnp.asarray(hrec, dtype=dt)
+                while nb_reg < nb:
+                    nb_reg *= 2
+                    dense2d, counts, K_dev = gcm.refine_block_candidates(
+                        nb_reg, dense, counts, hrec_d, dt.type(reach),
+                        dt.type(L / nb_reg), dt.type(L))
+                    K = int(K_dev)
+                    K_pad = max(64, -(-K // 64) * 64)
+                    dense = dense2d[:, :min(K_pad, dense2d.shape[1])
+                                    ].reshape(-1)
             cache[key] = (dense, counts, K)
         return cache[key]
 
@@ -383,7 +410,9 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
             for bi, idx in enumerate(
                     [s for s in np.array_split(order, self.n_buckets)
                      if s.size > 0]):
-                reach = float(R_q[idx].max()) + np.sqrt(3.0) / 2.0 * tree.h
+                # per-axis box test: registration adds the hb/2 cell
+                # half-extent itself, so reach is the radial cutoff
+                reach = float(R_q[idx].max())
                 dense, counts_h, K = self._cm_dense(bi, idx, xh, reach,
                                                     dt)
                 rad_max = (np.log(self.epsilon_max) if use_rdelta
@@ -450,8 +479,7 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
                 for bi, idx in enumerate(
                         [s for s in np.array_split(order, self.n_buckets)
                          if s.size > 0]):
-                    reach = float(R_q[idx].max()) \
-                        + np.sqrt(3.0) / 2.0 * tree.h
+                    reach = float(R_q[idx].max())
                     dense, counts_h, K = self._cm_dense(bi, idx, xh,
                                                         reach, dt)
                     rad_max = (np.log(self.epsilon_max) if use_rdelta

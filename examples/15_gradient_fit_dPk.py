@@ -1,0 +1,184 @@
+"""Gradient-based fit of M_c to a mock dP(k)/P(k) suppression.
+
+The production inference loop for baryonification: measure the matter
+power suppression P_baryonified / P_DMO of a simulation box, and infer
+the gas ejection mass M_c. The reference does this with grid searches /
+emulators because its pipeline (scipy interpolators + numba loops,
+`SnapshotRunner.py:205-247`) has no derivatives; here the WHOLE chain
+
+    ln M_c -> displacement table (build_table_device)
+           -> displaced particles (BaryonifySnapshot.process_device)
+           -> CIC density -> FFT -> binned P(k) ratio (ops.spectra)
+           -> chi^2 on the suppression curve
+
+is one reverse-mode differentiable JAX program.
+
+Asserts (exit nonzero on regression):
+  1. the suppression signal is >1.5% at the truth (the fit has signal);
+  2. the gradient at a perturbed start points back toward the truth;
+  3. Adam recovers ln M_c to < 10% of the injected offset.
+
+Run: python examples/15_gradient_fit_dPk.py   (~3-5 min, CPU)
+"""
+
+import os
+import sys
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+if not os.environ.get("BENCH"):
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+
+import jax
+import jax.numpy as jnp
+
+from baryonification_tpu import Cosmology, HaloNDCatalog, ParticleSnapshot
+from baryonification_tpu.displacement import Baryonification3D
+from baryonification_tpu.profiles import DarkMatterOnly, DarkMatterBaryon
+from baryonification_tpu.runners import BaryonifySnapshot
+from baryonification_tpu.ops.scatter import cic_deposit_3d
+
+COSMO = dict(Omega_m=0.3, Omega_b=0.05, h=0.7, sigma8=0.8, n_s=0.96,
+             w0=-1.0)
+PAR = dict(epsilon=4.0, theta_ej=4, theta_co=0.1, M_c=1e14, mu_beta=0.1,
+           gamma=2.5, delta=7, mu_theta_ej=0.1, M_theta_ej=5e13,
+           M_theta_co=5e13, M_gamma=5e13, M_delta=5e13, eta=0.3,
+           eta_delta=0.1, tau=-1.5, tau_delta=0, A=0.055, M1=3e11,
+           epsilon_h=0.015, a=0.3, n=2.0, p=0.3, q=0.707,
+           cutoff=np.inf, proj_cutoff=1000)
+
+LN_MC_TRUE = float(np.log(10 ** 13.6))
+LN_MC_START = float(np.log(10 ** 14.4))
+
+Z_RANGE = np.geomspace(0.2, 0.3, 2)
+M_RANGE = np.geomspace(1e13, 1e15, 6)
+R_RANGE = np.geomspace(1e-2, 40, 48)
+
+
+def main():
+    cosmo = Cosmology.from_dict(COSMO)
+    rng = np.random.default_rng(4)
+    L, n_part, n_halo, Ng = 120.0, 30_000, 25, 48
+
+    # mock DMO box: particles clustered around the halos + uniform field
+    hx = rng.uniform(0, L, (n_halo, 3))
+    hM = 10 ** rng.uniform(14.0, 14.9, n_halo)
+    n_clust = n_part // 2
+    w = hM / hM.sum()
+    host = rng.choice(n_halo, n_clust, p=w)
+    r_nfw = 0.9 * rng.power(0.8, n_clust)[:, None]
+    dirs = rng.normal(size=(n_clust, 3))
+    dirs /= np.linalg.norm(dirs, axis=1)[:, None]
+    pos = np.concatenate([
+        np.mod(hx[host] + r_nfw * dirs * 3.0, L),
+        rng.uniform(0, L, (n_part - n_clust, 3))])
+    snap = ParticleSnapshot(x=pos[:, 0], y=pos[:, 1], z=pos[:, 2],
+                            M=np.ones(n_part), L=L, redshift=0.25,
+                            cosmo=COSMO)
+    cat = HaloNDCatalog(x=hx[:, 0], y=hx[:, 1], z=hx[:, 2], M=hM,
+                        redshift=0.25, cosmo=COSMO)
+
+    model0 = Baryonification3D(DarkMatterOnly(**PAR),
+                               DarkMatterBaryon(**PAR), cosmo,
+                               epsilon_max=10)
+    model0.setup_interpolator(z_min=Z_RANGE[0], z_max=Z_RANGE[-1],
+                              N_samples_z=len(Z_RANGE),
+                              M_min=M_RANGE[0], M_max=M_RANGE[-1],
+                              N_samples_Mass=len(M_RANGE),
+                              R_min=R_RANGE[0], R_max=R_RANGE[-1],
+                              N_samples_R=len(R_RANGE))
+    runner = BaryonifySnapshot(cat, snap, epsilon_max=10, model=model0,
+                               method="cellmajor", verbose=False)
+
+    # binned P(k) of CIC-painted particles (pure JAX; differentiable)
+    kf = 2 * np.pi / L
+    kx = np.fft.fftfreq(Ng, d=1.0 / Ng)
+    k2 = (kx[:, None, None] ** 2 + kx[None, :, None] ** 2
+          + np.fft.rfftfreq(Ng, d=1.0 / Ng)[None, None, :] ** 2)
+    kmag = np.sqrt(k2) * kf
+    edges = np.linspace(1.5 * kf, 12 * kf, 8)
+    binid = np.digitize(kmag.ravel(), edges)
+    masks = [jnp.asarray((binid == i + 1).astype(np.float64))
+             for i in range(len(edges) - 1)]
+    res = L / Ng
+
+    def pk(x, y, z):
+        rho = cic_deposit_3d(Ng, x / res - 0.5, y / res - 0.5,
+                             z / res - 0.5,
+                             jnp.ones_like(x), dtype=x.dtype)
+        delta = rho.reshape(Ng, Ng, Ng) - jnp.mean(rho)
+        pw = jnp.abs(jnp.fft.rfftn(delta)) ** 2
+        pw = pw.ravel()
+        return jnp.stack([jnp.sum(pw * m) / jnp.maximum(jnp.sum(m), 1)
+                          for m in masks])
+
+    # ONE persistent jitted table builder: profiles are (re)constructed
+    # at trace time with the traced ln M_c, and the whole build compiles
+    # once — a fresh jax.jit per call would retrace the relaxation every
+    # Adam step. (The cosmology's lazy background/xi/sigma caches were
+    # warmed eagerly by model0.setup_interpolator above, so no host
+    # conversions happen under the trace.)
+    @jax.jit
+    def table_of(lnMc):
+        from baryonification_tpu.profiles import CollisionlessMatter
+        par = dict(PAR)
+        par['M_c'] = jnp.exp(lnMc)
+        clm = CollisionlessMatter(r_steps=1500, max_iter=6, **par)
+        m = Baryonification3D(
+            DarkMatterOnly(**par),
+            DarkMatterBaryon(collisionlessmatter=clm, **par), cosmo,
+            epsilon_max=10)
+        t = m.build_table_device(Z_RANGE, M_RANGE, R_RANGE)
+        return t.reshape(len(Z_RANGE), len(M_RANGE), len(R_RANGE))
+
+    p_dmo = pk(jnp.asarray(snap.cat['x']), jnp.asarray(snap.cat['y']),
+               jnp.asarray(snap.cat['z']))
+
+    def ratio_of(lnMc):
+        x, y, z = runner.process_device(table_of(lnMc))
+        return pk(x, y, z) / p_dmo
+
+    target = jax.lax.stop_gradient(ratio_of(jnp.asarray(LN_MC_TRUE)))
+    sig = float(jnp.max(jnp.abs(target - 1.0)))
+    print(f"suppression signal at truth: max |P_B/P_DMO - 1| = {sig:.3f}")
+    assert sig > 0.015, "mock suppression too small to fit"
+
+    def chi2(lnMc):
+        return jnp.sum((ratio_of(lnMc) - target) ** 2) * 1e4
+
+    val_grad = jax.value_and_grad(chi2)
+    c0, g0 = val_grad(jnp.asarray(LN_MC_START))
+    print(f"chi2 start {float(c0):.4e}   grad {float(g0):+.3e}")
+    assert float(g0) * (LN_MC_START - LN_MC_TRUE) > 0, \
+        "gradient must point back toward the truth"
+
+    import optax
+    opt = optax.adam(learning_rate=0.2)
+    lnMc = jnp.asarray(LN_MC_START)
+    state = opt.init(lnMc)
+    best = (np.inf, LN_MC_START)
+    for step in range(20):
+        c, g = val_grad(lnMc)
+        if float(c) < best[0]:
+            best = (float(c), float(lnMc))
+        upd, state = opt.update(g, state)
+        lnMc = optax.apply_updates(lnMc, upd)
+        if step % 4 == 0 or step == 19:
+            print(f"step {step:2d}: ln M_c = {float(lnMc):.4f} "
+                  f"(truth {LN_MC_TRUE:.4f})  chi2 = {float(c):.4e}")
+
+    c_fin, lnMc_fin = best
+    err = abs(lnMc_fin - LN_MC_TRUE)
+    off = abs(LN_MC_START - LN_MC_TRUE)
+    print(f"\nrecovered ln M_c = {lnMc_fin:.4f} (truth {LN_MC_TRUE:.4f}; "
+          f"residual {err:.4f} = {err / off:.1%} of injected offset)")
+    assert err < 0.10 * off, "M_c not recovered from dP(k)"
+    print("\nPASS: M_c recovered from the power-suppression curve by "
+          "autodiff through table build + particle displacement + P(k)")
+
+
+if __name__ == "__main__":
+    main()

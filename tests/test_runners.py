@@ -498,6 +498,33 @@ class TestGridCellMajor:
         np.testing.assert_allclose(p_cm, p_sc, rtol=1e-8,
                                    atol=1e-10 * p_sc.max())
 
+    def test_baryonify_3d_refined_agrees(self, displ3d):
+        """Block refinement (pass runs at B/2 or B/4) must leave the
+        map unchanged vs the scatter path."""
+        rng = np.random.default_rng(27)
+        N, L = 64, 90.0
+        bins = (np.arange(N) + 0.5) * (L / N)
+        n = 10
+        cat = HaloNDCatalog(x=rng.uniform(0, L, n),
+                            y=rng.uniform(0, L, n),
+                            z=rng.uniform(0, L, n),
+                            M=10 ** rng.uniform(14.3, 14.9, n),
+                            redshift=0.25, cosmo=COSMO_DICT)
+        gm = GriddedMap(map=rng.uniform(0.5, 1.5, (N, N, N)),
+                        redshift=0.25, bins=bins, cosmo=COSMO_DICT)
+        m_sc = BaryonifyGrid(cat, gm, epsilon_max=15, model=displ3d,
+                             method="scatter", verbose=False).process()
+        r_cm = BaryonifyGrid(cat, gm, epsilon_max=15, model=displ3d,
+                             method="cellmajor", verbose=False)
+        r_cm.refine_k_min = 1
+        m_cm = r_cm.process()
+        assert any(v[3] < k[1] for k, v in r_cm._gdense_cache.items()), \
+            "refinement did not trigger"
+        scale = np.abs(m_sc - gm.map).max()
+        assert scale > 0
+        np.testing.assert_allclose(m_cm, m_sc, atol=1e-8 * scale,
+                                   rtol=1e-8)
+
     def test_cellmajor_rejects_2d(self, grid_setup_2d, displ2d):
         cat, gm = grid_setup_2d
         with pytest.raises(ValueError):
