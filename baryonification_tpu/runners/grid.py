@@ -168,13 +168,17 @@ class DefaultRunnerGrid:
             cache[key] = jnp.asarray(cols, dtype=dt)
         return cache[key]
 
-    def _grid_dense(self, bi, B, sel, arrs, reach, dt):
+    def _grid_dense(self, bi, B, sel, arrs, reach, R_q_sel, dt):
         """Dense block candidates for one bucket (cached per catalog).
 
         Returns (dense, counts, K, B_eff): like the shell path, the
         candidate lists are REFINED to finer blocks while K is
         margin-dominated (grid_cellmajor.refine_block_candidates) —
-        pass work is npix * K."""
+        pass work is npix * K. The per-halo reach is
+        min(bucket window, eps_max * R): the radial cutoff zeroes
+        everything beyond each halo's own reach, so the bucket's
+        smaller halos register far more tightly than the bucket-max
+        window alone would."""
         cache = getattr(self, '_gdense_cache', None)
         if cache is None:
             cache = {}
@@ -196,7 +200,7 @@ class DefaultRunnerGrid:
             H_pad = -(-H // step) * step
             pad = lambda v, fill: np.concatenate(
                 [v, np.full(H_pad - H, fill)]) if H_pad > H else v
-            rr = np.full(H, reach)
+            rr = np.minimum(reach, np.asarray(R_q_sel))
             x0 = np.asarray(gm.bins)[0] - gm.res / 2
             xs = np.mod(arrs['x'][sel] - x0, L)
             ys = np.mod(arrs['y'][sel] - x0, L)
@@ -211,9 +215,11 @@ class DefaultRunnerGrid:
             K_pad = max(64, -(-K // 64) * 64)
             dense, counts = cm.dense_cell_candidates(
                 nb ** 3, K_pad, hids, cell_start)
-            # refinement: shifted positions ride in a local record bank
+            # refinement: shifted positions + per-halo reach ride in a
+            # local record bank
             hrec = np.zeros((H, 16))
             hrec[:, 0], hrec[:, 1], hrec[:, 2] = xs, ys, zs
+            hrec[:, 3] = rr
             hrec_d = jnp.asarray(hrec, dtype=dt)
             B_eff = B
             k_min = getattr(self, 'refine_k_min', 48)
@@ -221,7 +227,7 @@ class DefaultRunnerGrid:
                 B_eff //= 2
                 nb2 = N // B_eff
                 dense2d, counts, K_dev = gcm.refine_block_candidates(
-                    nb2, dense, counts, hrec_d, dt.type(reach),
+                    nb2, dense, counts, hrec_d,
                     dt.type(L / nb2), dt.type(L))
                 K = int(K_dev)
                 K_pad = max(64, -(-K // 64) * 64)
@@ -531,7 +537,8 @@ class BaryonifyGrid(DefaultRunnerGrid):
                     B = gcm.pick_block_size(N, max(half, 4))
                     reach = (half + 1) * res
                     dense, counts, K, B_eff = self._grid_dense(
-                        bi, B, sel, arrs, reach, dt)
+                        bi, B, sel, arrs, reach,
+                        self.epsilon_max * R_com[sel], dt)
                     nb = N // B_eff
                     F = B_eff ** 3
                     C_blk = self._grid_cell_chunk(nb ** 3, F)
@@ -671,7 +678,8 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                     B = gcm.pick_block_size(N, max(half, 4))
                     reach = (half + 1) * res
                     dense, counts, K, B_eff = self._grid_dense(
-                        bi, B, sel, arrs, reach, dt)
+                        bi, B, sel, arrs, reach,
+                        self.epsilon_max * R_com[sel], dt)
                     nb = N // B_eff
                     F = B_eff ** 3
                     C_blk = self._grid_cell_chunk(nb ** 3, F)

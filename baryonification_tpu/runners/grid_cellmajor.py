@@ -35,28 +35,63 @@ __all__ = ["block_perm", "register_halos_grid", "blend_table_z",
            "grid_offsets_pass", "grid_paint_pass", "pick_block_size"]
 
 
+def _spread3(v):
+    """Spread the low 10 bits of v to every third bit (3D Morton)."""
+    v = (v | (v << 16)) & jnp.int32(0x030000FF)
+    v = (v | (v << 8)) & jnp.int32(0x0300F00F)
+    v = (v | (v << 4)) & jnp.int32(0x030C30C3)
+    v = (v | (v << 2)) & jnp.int32(0x09249249)
+    return v
+
+
+def _compact3(v):
+    """Inverse of _spread3."""
+    v = v & jnp.int32(0x09249249)
+    v = (v | (v >> 2)) & jnp.int32(0x030C30C3)
+    v = (v | (v >> 4)) & jnp.int32(0x0300F00F)
+    v = (v | (v >> 8)) & jnp.int32(0x030000FF)
+    v = (v | (v >> 16)) & jnp.int32(0x000003FF)
+    return v
+
+
+def morton3(x, y, z):
+    """Z-order (Morton) id of 3D integer coordinates (< 1024 each).
+
+    Morton order is the cube analog of HEALPix NESTED: consecutive ids
+    are spatially compact (so per-chunk candidate bounds stay local —
+    row-major chunks are box-spanning slabs whose k_max is the global
+    max), and it is hierarchical — the 8 children of block b at the
+    next finer level are ids 8b..8b+7, which makes refinement a
+    contiguous row repeat."""
+    return (_spread3(x) | (_spread3(y) << 1) | (_spread3(z) << 2))
+
+
+def demorton3(c):
+    """Morton id -> (x, y, z)."""
+    return _compact3(c), _compact3(c >> 1), _compact3(c >> 2)
+
+
 def pick_block_size(N, reach_vox):
-    """Block edge (voxels): power of two dividing N, edge ~ max reach."""
-    b = 1
-    while b * 2 <= min(max(reach_vox, 1.0), N // 2):
-        b *= 2
-    while N % b:
-        b //= 2
-    return max(b, 1)
+    """Block edge (voxels): blocks-per-axis nb must be a power of two
+    (Morton ids) dividing N; edge B = N/nb ~ max reach, B >= 4."""
+    nb = 1
+    while (nb * 2 <= N // 4 and N % (nb * 2) == 0
+           and N // (nb * 2) >= max(reach_vox, 4.0)):
+        nb *= 2
+    return N // nb
 
 
 @partial(jax.jit, static_argnames=("N", "B"))
 def block_perm(N, B):
     """(N^3,) int32: row-major voxel id of each block-major position.
 
-    Block-major position i = b * B^3 + f with b = (bx*nb + by)*nb + bz
-    and f = (ox*B + oy)*B + oz; row-major id = (x*N + y)*N + z."""
-    nb = N // B
+    Block-major position i = b * B^3 + f with b the MORTON id of the
+    block coords (see morton3) and f = (ox*B + oy)*B + oz; row-major
+    voxel id = (x*N + y)*N + z."""
     F = B * B * B
     i = jnp.arange(N * N * N, dtype=jnp.int32)
     b, f = i // F, i % F
-    bx, byz = b // (nb * nb), b % (nb * nb)
-    by, bz = byz // nb, byz % nb
+    bx, by, bz = demorton3(b)
     ox, oyz = f // (B * B), f % (B * B)
     oy, oz = oyz // B, oyz % B
     return ((bx * B + ox) * N + (by * B + oy)) * N + (bz * B + oz)
@@ -94,8 +129,8 @@ def register_halos_grid(nb, W, L, xh, yh, zh, reach):
         okx = ax_ok(bx, x0)
         oky = ax_ok(by, y0)
         okz = ax_ok(bz, z0)
-        cells = ((bx[:, None, None] * nb + by[None, :, None]) * nb
-                 + bz[None, None, :])
+        cells = morton3(bx[:, None, None], by[None, :, None],
+                        bz[None, None, :])
         ok = (okx[:, None, None] & oky[None, :, None]
               & okz[None, None, :] & (rr >= 0))
         return cells.reshape(-1), ok.reshape(-1)
@@ -114,33 +149,35 @@ def register_halos_grid(nb, W, L, xh, yh, zh, reach):
 
 @partial(jax.jit, static_argnames=("nb_child",))
 def refine_block_candidates(nb_child, dense_parent, counts_parent,
-                            packed, reach, hb_child, L):
+                            hrec, hb_child, L):
     """Split blocks 2x finer per axis and re-filter each parent list.
 
     Registration margins add ~hb/2 per axis to the halo reach; at the
     natural level (hb ~ reach) that inflates K — which the pass's work
     is proportional to — by ~(3/2)^3. Each refinement level halves the
     margin (the cube analog of shell_cellmajor.refine_cell_candidates,
-    with closed-form child centers and a SCALAR per-bucket reach).
+    with closed-form child centers).
 
-    dense_parent : ((nb_child/2)^3 * K_pad,) row-major block candidates
-    packed : (H, 16) grid halo records (cols 0..2 = box positions)
-    reach : scalar — (half+1) * res, the bucket's per-axis support
+    dense_parent : ((nb_child/2)^3 * K_pad,) Morton block candidates
+    hrec : (H, 16) records — cols 0..2 = box positions, col 3 = the
+           PER-HALO per-axis reach (min(bucket window, eps_max * R):
+           the radial cutoff zeroes everything beyond each halo's own
+           reach, so small halos in a wide bucket drop out of far
+           blocks)
     Returns (dense_child (nc_child, K_pad), counts_child, K_dev).
     """
     nbp = nb_child // 2
     K_pad = dense_parent.shape[0] // (nbp ** 3)
     nc = nb_child ** 3
     c = jnp.arange(nc, dtype=jnp.int32)
-    cx, cyz = c // (nb_child * nb_child), c % (nb_child * nb_child)
-    cy, cz = cyz // nb_child, cyz % nb_child
-    pid = ((cx // 2) * nbp + (cy // 2)) * nbp + (cz // 2)
-    hid = dense_parent.reshape(nbp ** 3, K_pad)[pid]     # (nc, K_pad)
-    cnt = counts_parent[pid]
+    cx, cy, cz = demorton3(c)
+    # Morton is hierarchical: children of parent b are ids 8b..8b+7
+    hid = jnp.repeat(dense_parent.reshape(nbp ** 3, K_pad), 8, axis=0)
+    cnt = jnp.repeat(counts_parent, 8)
     k = jnp.arange(K_pad, dtype=jnp.int32)[None, :]
-    rec = packed[hid.reshape(-1)]
+    rec = hrec[hid.reshape(-1)]
     dt = rec.dtype
-    lim = reach + 0.5 * hb_child
+    lim = rec[:, 3].reshape(nc, K_pad) + 0.5 * hb_child
 
     def ax_ok(ci, col):
         ctr = (ci.astype(dt) + 0.5) * hb_child
@@ -209,11 +246,12 @@ def _hat_readout(A_T, t, n_hi):
 
 
 def _voxel_planes(c0, C_blk, B, nb, bins0, res, dt):
-    """(C, F) voxel-center coordinates for one chunk of blocks."""
+    """(C, F) voxel-center coordinates for one chunk of MORTON-ordered
+    blocks (consecutive ids are spatially compact, so the chunk-local
+    candidate bound k_max stays local)."""
     F = B * B * B
     b = c0 * C_blk + jnp.arange(C_blk, dtype=jnp.int32)
-    bx, byz = b // (nb * nb), b % (nb * nb)
-    by, bz = byz // nb, byz % nb
+    bx, by, bz = demorton3(b)
     f = jnp.arange(F, dtype=jnp.int32)
     ox, oyz = f // (B * B), f % (B * B)
     oy, oz = oyz // B, oyz % B

@@ -275,7 +275,7 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
                           jnp.asarray(pad_idx, dtype=jnp.int32))
         return cache[key]
 
-    def _cm_dense(self, bi, sel, xh, reach, dt):
+    def _cm_dense(self, bi, sel, xh, reach, R_q_sel, dt):
         """Dense cell-list candidates for one bucket, cached.
 
         For wide-reach buckets the registration runs at a COARSER block
@@ -310,12 +310,13 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
             pad = lambda v, fill: np.concatenate(
                 [v, np.full(H_pad - H, fill)]) if H_pad > H else v
             xm = np.mod(xh[sel], L)
+            rr = np.minimum(reach, np.asarray(R_q_sel))
             hids, cell_start, K = gcm.register_halos_grid(
                 nb_reg, W, dt.type(L),
                 jnp.asarray(pad(xm[:, 0], 0.0), dtype=dt),
                 jnp.asarray(pad(xm[:, 1], 0.0), dtype=dt),
                 jnp.asarray(pad(xm[:, 2], 0.0), dtype=dt),
-                jnp.asarray(pad(np.full(H, reach), -1.0), dtype=dt))
+                jnp.asarray(pad(rr, -1.0), dtype=dt))
             K = int(K)
             K_pad = max(64, -(-K // 64) * 64)
             dense, counts = cm.dense_cell_candidates(
@@ -323,11 +324,12 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
             if levels:
                 hrec = np.zeros((H, 16))
                 hrec[:, 0], hrec[:, 1], hrec[:, 2] = xm.T
+                hrec[:, 3] = rr
                 hrec_d = jnp.asarray(hrec, dtype=dt)
                 while nb_reg < nb:
                     nb_reg *= 2
                     dense2d, counts, K_dev = gcm.refine_block_candidates(
-                        nb_reg, dense, counts, hrec_d, dt.type(reach),
+                        nb_reg, dense, counts, hrec_d,
                         dt.type(L / nb_reg), dt.type(L))
                     K = int(K_dev)
                     K_pad = max(64, -(-K // 64) * 64)
@@ -340,6 +342,32 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
     def _node_bound(g2, rad_max, Nr):
         n_hi = int(np.floor((rad_max - g2[0]) / (g2[1] - g2[0]))) + 2
         return min(Nr, max(32, -(-n_hi // 32) * 32))
+
+    def _halo_geom(self):
+        """Host halo staging (radii, wrapped positions, packed record
+        columns), cached per catalog — also what makes process_device
+        fully jit-able: a traced call must not run jnp ops on host data
+        (they would become tracers and break the numpy staging)."""
+        if getattr(self, '_geom_cache_cat', None) is self.HaloNDCatalog \
+                and hasattr(self, '_geom_cache'):
+            return self._geom_cache
+        cosmo = Cosmology.from_dict(self.cosmo)
+        cat = self.HaloNDCatalog.cat
+        a = 1.0 / (1.0 + self.HaloNDCatalog.redshift)
+        L = float(self.ParticleSnapshot.L)
+        R_phys = np.asarray(self.mass_def.get_radius(cosmo, cat['M'], a))
+        R_com = R_phys / a
+        R_q = np.clip(self.epsilon_max * R_com, 0, L / 2)
+        xh = np.stack([cat[c] for c in 'xyz'], axis=-1)
+        H = len(xh)
+        cols = np.zeros((H, 16))
+        cols[:, :3] = np.mod(xh, L)
+        cols[:, 3] = R_com
+        cols[:, 4] = np.log(cat['M'])
+        cols[:, 5] = np.log(R_com)
+        self._geom_cache = (a, R_com, R_q, xh, cols)
+        self._geom_cache_cat = self.HaloNDCatalog
+        return self._geom_cache
 
     def process_device(self, table=None):
         """Differentiable, device-resident displacement.
@@ -361,18 +389,14 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
         from ..utils import x64_disabled
         from . import grid_cellmajor as gcm
         from . import snapshot_cellmajor as scm
-        cosmo = Cosmology.from_dict(self.cosmo)
         model = self.model
         if table is None:
             table = model._table
         snap = self.ParticleSnapshot
         L = float(snap.L)
-        cat = self.HaloNDCatalog.cat
-        a = 1.0 / (1.0 + self.HaloNDCatalog.redshift)
-        R_phys = np.asarray(self.mass_def.get_radius(cosmo, cat['M'], a))
-        R_com = R_phys / a
-        R_q = np.clip(self.epsilon_max * R_com, 0, L / 2)
-        xh = np.stack([cat[c] for c in 'xyz'], axis=-1)
+        # cached host staging: also what keeps this method traceable
+        # under an outer jax.jit (no jnp ops on host catalog data)
+        a, R_com, R_q, xh, cols = self._halo_geom()
         use_rdelta = bool(getattr(model, 'Rdelta_sampling', False))
         tree = self.tree
         dt = self.dtype
@@ -392,12 +416,6 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
             # halo-major path's NaN -> 0 soft degradation)
             table_z = jnp.where(inb_z, table_z, 0.0)
             P_pad, (px, py, pz), counts_p, pad_idx = self._cm_staging(dt)
-            H = len(xh)
-            cols = np.zeros((H, 16))
-            cols[:, :3] = np.mod(xh, L)
-            cols[:, 3] = R_com
-            cols[:, 4] = np.log(cat['M'])
-            cols[:, 5] = np.log(R_com)
             packed = jnp.asarray(cols, dtype=dt)
             g2_np = np.asarray(model._grids[2])
             zeros = jnp.zeros((ncell * P_pad,), dtype=dt)
@@ -414,7 +432,7 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
                 # half-extent itself, so reach is the radial cutoff
                 reach = float(R_q[idx].max())
                 dense, counts_h, K = self._cm_dense(bi, idx, xh, reach,
-                                                    dt)
+                                                    R_q[idx], dt)
                 rad_max = (np.log(self.epsilon_max) if use_rdelta
                            else np.log(self.epsilon_max
                                        * R_com[idx].max()))
@@ -480,8 +498,8 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
                         [s for s in np.array_split(order, self.n_buckets)
                          if s.size > 0]):
                     reach = float(R_q[idx].max())
-                    dense, counts_h, K = self._cm_dense(bi, idx, xh,
-                                                        reach, dt)
+                    dense, counts_h, K = self._cm_dense(
+                        bi, idx, xh, reach, R_q[idx], dt)
                     rad_max = (np.log(self.epsilon_max) if use_rdelta
                                else np.log(self.epsilon_max
                                            * R_com[idx].max()))

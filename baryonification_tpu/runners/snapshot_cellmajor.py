@@ -35,26 +35,50 @@ from .grid_cellmajor import _blend_rows_M, _segment_readout
 __all__ = ["pad_particles_by_cell", "snapshot_offsets_pass"]
 
 
+def _np_spread3(v):
+    v = v.astype(np.int64)
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def np_morton3_of_rowmajor(rm, nb):
+    """Morton id of each row-major cell id (host numpy)."""
+    cx, cyz = rm // (nb * nb), rm % (nb * nb)
+    cy, cz = cyz // nb, cyz % nb
+    return (_np_spread3(cx) | (_np_spread3(cy) << 1)
+            | (_np_spread3(cz) << 2))
+
+
 def pad_particles_by_cell(tree, coords, P_pad):
-    """(ncell * P_pad,) SoA padded position planes + per-cell counts +
+    """(ncell * P_pad,) SoA padded position planes (cells in MORTON
+    order, matching the Morton registration ids) + per-cell counts +
     the (Np,) map from sorted-particle index to padded slot.
 
     Host-side, one-time per catalog (numpy; the cell list is already
     host-built). Pad slots hold the cell's first particle position
     (inert: masked by count in the kernel)."""
     ncell = len(tree.cell_count)
+    nb = tree.n_cells
     Np = coords.shape[0]
     dim = coords.shape[1]
     srt = coords[tree.order]
-    planes = np.zeros((dim, ncell * P_pad))
-    counts = np.minimum(tree.cell_count, P_pad).astype(np.int32)
+    m_of_rm = np_morton3_of_rowmajor(np.arange(ncell), nb)
+    counts_rm = np.minimum(tree.cell_count, P_pad).astype(np.int32)
+    counts = np.zeros(ncell, dtype=np.int32)
+    counts[m_of_rm] = counts_rm
     # sorted index i lives in cell sorted_cid[i] at slot i - start[cell]
     cell_of = tree.sorted_cid
     slot_of = np.arange(Np) - tree.cell_start[cell_of]
-    pad_idx = (cell_of * P_pad + slot_of).astype(np.int64)
+    pad_idx = (m_of_rm[cell_of] * P_pad + slot_of).astype(np.int64)
+    first_rm = srt[tree.cell_start.clip(0, Np - 1)]       # (ncell, dim)
+    planes = np.zeros((dim, ncell * P_pad))
     for d in range(dim):
-        base = np.repeat(srt[tree.cell_start.clip(0, Np - 1), d], P_pad)
-        planes[d] = base
+        base = np.zeros(ncell)
+        base[m_of_rm] = first_rm[:, d]
+        planes[d] = np.repeat(base, P_pad)
         planes[d, pad_idx] = srt[:, d]
     return planes, counts, pad_idx
 

@@ -6,8 +6,11 @@ Usage:  python bench_runners.py snap   # particle snapshot displacement
         python bench_runners.py grid   # 3D grid baryonify
 Scales via NHALO / NPART / NGRID env vars. One TPU process at a time.
 
-Measured (v5e, 2e6 particles, 3e4 halos, L=500 Mpc):
-  snap/cellmajor steady 2.04 s   snap/gather steady 24.9 s   (12.2x)
+Measured (v5e, L=500 Mpc):
+  snap (2e6 particles, 3e4 halos):
+    cellmajor steady 2.04 s   gather steady 24.9 s    (12.2x)
+  grid (256^3 voxels, 5e4 halos):
+    cellmajor steady 11.4 s   scatter steady 49.7 s   (4.4x)
 """
 import os
 import sys

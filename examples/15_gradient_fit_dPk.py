@@ -149,7 +149,11 @@ def main():
     def chi2(lnMc):
         return jnp.sum((ratio_of(lnMc) - target) ** 2) * 1e4
 
-    val_grad = jax.value_and_grad(chi2)
+    # the target computation above ran the chain once eagerly, warming
+    # every host-side staging cache — so the WHOLE objective (table
+    # build + displacement + P(k) + backward) now compiles as one
+    # program and each Adam step is a single native call
+    val_grad = jax.jit(jax.value_and_grad(chi2))
     c0, g0 = val_grad(jnp.asarray(LN_MC_START))
     print(f"chi2 start {float(c0):.4e}   grad {float(g0):+.3e}")
     assert float(g0) * (LN_MC_START - LN_MC_TRUE) > 0, \

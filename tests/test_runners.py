@@ -682,3 +682,39 @@ class TestBaryonifySnapshot:
         want = np.where(want < 0, want + L, want)
         got = np.stack([new_cat[c] for c in 'xyz'], axis=-1)
         np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+class TestMorton:
+    def test_roundtrip(self):
+        from baryonification_tpu.runners import grid_cellmajor as gcm
+        import jax.numpy as jnp
+        rng = np.random.default_rng(0)
+        xyz = rng.integers(0, 1024, (3, 500))
+        m = gcm.morton3(jnp.asarray(xyz[0], dtype=jnp.int32),
+                        jnp.asarray(xyz[1], dtype=jnp.int32),
+                        jnp.asarray(xyz[2], dtype=jnp.int32))
+        x, y, z = gcm.demorton3(m)
+        np.testing.assert_array_equal(np.asarray(x), xyz[0])
+        np.testing.assert_array_equal(np.asarray(y), xyz[1])
+        np.testing.assert_array_equal(np.asarray(z), xyz[2])
+        # bijection over a full small cube
+        import itertools
+        g = np.array(list(itertools.product(range(8), repeat=3))).T
+        m8 = np.asarray(gcm.morton3(jnp.asarray(g[0], dtype=jnp.int32),
+                                    jnp.asarray(g[1], dtype=jnp.int32),
+                                    jnp.asarray(g[2], dtype=jnp.int32)))
+        assert sorted(m8.tolist()) == list(range(512))
+
+    def test_np_host_matches_device(self):
+        from baryonification_tpu.runners import grid_cellmajor as gcm
+        from baryonification_tpu.runners import snapshot_cellmajor as scm
+        import jax.numpy as jnp
+        nb = 16
+        rm = np.arange(nb ** 3)
+        want = scm.np_morton3_of_rowmajor(rm, nb)
+        cx, cyz = rm // (nb * nb), rm % (nb * nb)
+        cy, cz = cyz // nb, cyz % nb
+        got = np.asarray(gcm.morton3(jnp.asarray(cx, dtype=jnp.int32),
+                                     jnp.asarray(cy, dtype=jnp.int32),
+                                     jnp.asarray(cz, dtype=jnp.int32)))
+        np.testing.assert_array_equal(got, want)
