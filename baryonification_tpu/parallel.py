@@ -31,7 +31,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ['SimpleParallel', 'SplitJoinParallel', 'mesh_shard_halos',
            'mesh_cellmajor_shell', 'mesh_offsets_bucket',
-           'mesh_paint_bucket', 'mesh_regrid_shell', 'min_coarse_nside']
+           'mesh_paint_bucket', 'mesh_regrid_shell', 'min_coarse_nside',
+           'mesh_grid_offsets_bucket', 'mesh_grid_paint_bucket',
+           'mesh_grid_cic']
 
 
 class SimpleParallel:
@@ -252,6 +254,109 @@ def mesh_regrid_shell(mesh, axis, nside, pix_planes, orig_map_nested,
     vx, vy, vz = pix_planes
     ox, oy, oz = offsets
     return fn(vx, vy, vz, orig_map_nested, ox, oy, oz)
+
+
+@lru_cache(maxsize=None)
+def _mesh_grid_offsets_fn(mesh, axis, use_rdelta, B, C_blk, n_hi, N,
+                          half, eps_max, k_static, L, res, bins0):
+    """Compiled shard-mapped cell-major GRID displacement pass. Voxel
+    coordinates are computed from global Morton block ids, so each
+    device offsets by its shard's base block (axis_index)."""
+    from .runners.grid_cellmajor import grid_offsets_pass
+
+    def step(dense_s, counts_s, ox, oy, oz, packed, gM, table_z, lnr):
+        block0 = jax.lax.axis_index(axis) * counts_s.shape[0]
+        return grid_offsets_pass(
+            use_rdelta, B, C_blk, n_hi, N, half, dense_s.reshape(-1),
+            counts_s, packed, gM, table_z, lnr, eps_max, L, res, bins0,
+            ox, oy, oz, k_static=k_static, block0=block0)
+
+    sh = P(axis)
+    rep = P()
+    return jax.jit(jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(sh, sh, sh, sh, sh, rep, rep, rep, rep),
+        out_specs=(sh, sh, sh)))
+
+
+def mesh_grid_offsets_bucket(mesh, axis, use_rdelta, B, C_blk, n_hi, N,
+                             half, dense2d, counts, packed, gM, table_z,
+                             lnr_grid, eps_max, L, res, bins0, offsets,
+                             k_static=None):
+    """One bucket of the block-sharded 3D-grid displacement pass:
+    Morton blocks are disjoint box regions, so each device owns a
+    contiguous block range with NO communication; ``offsets`` carries
+    sharded in the bucket's block-major order."""
+    fn = _mesh_grid_offsets_fn(mesh, axis, bool(use_rdelta), int(B),
+                               int(C_blk), int(n_hi), int(N), int(half),
+                               float(eps_max),
+                               None if k_static is None else int(k_static),
+                               float(L), float(res), float(bins0))
+    ox, oy, oz = offsets
+    return fn(dense2d, counts, ox, oy, oz, packed, gM, table_z, lnr_grid)
+
+
+@lru_cache(maxsize=None)
+def _mesh_grid_paint_fn(mesh, axis, B, C_blk, n_hi, N, half, eps_max,
+                        k_static, L, res, bins0):
+    from .runners.grid_cellmajor import grid_paint_pass
+
+    def step(dense_s, counts_s, m_s, packed, gM, table_z, lnr):
+        block0 = jax.lax.axis_index(axis) * counts_s.shape[0]
+        return grid_paint_pass(
+            B, C_blk, n_hi, N, half, dense_s.reshape(-1), counts_s,
+            packed, gM, table_z, lnr, eps_max, L, res, bins0, m_s,
+            k_static=k_static, block0=block0)
+
+    sh = P(axis)
+    rep = P()
+    return jax.jit(jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(sh, sh, sh, rep, rep, rep, rep), out_specs=sh))
+
+
+def mesh_grid_paint_bucket(mesh, axis, B, C_blk, n_hi, N, half, dense2d,
+                           counts, packed, gM, table_z, lnr_grid,
+                           eps_max, L, res, bins0, map_bm,
+                           k_static=None):
+    """One bucket of the block-sharded 3D-grid painting pass (purely
+    local; the block-major map carries sharded)."""
+    fn = _mesh_grid_paint_fn(mesh, axis, int(B), int(C_blk), int(n_hi),
+                             int(N), int(half), float(eps_max),
+                             None if k_static is None else int(k_static),
+                             float(L), float(res), float(bins0))
+    return fn(dense2d, counts, map_bm, packed, gM, table_z, lnr_grid)
+
+
+@lru_cache(maxsize=None)
+def _mesh_grid_cic_fn(mesh, axis, N):
+    from .ops.scatter import cic_deposit_3d
+
+    def step(vals_s, ox, oy, oz):
+        nloc = vals_s.shape[0]
+        i = (jax.lax.axis_index(axis) * nloc
+             + jnp.arange(nloc, dtype=jnp.int32))
+        ixy, iz = i // N, i % N
+        ix, iy = ixy // N, ixy % N
+        dt = vals_s.dtype
+        partial = cic_deposit_3d(N, ox + ix.astype(dt),
+                                 oy + iy.astype(dt),
+                                 oz + iz.astype(dt), vals_s, dtype=dt)
+        return jax.lax.psum(partial, axis)
+
+    sh = P(axis)
+    return jax.jit(jax.shard_map(
+        step, mesh=mesh, in_specs=(sh, sh, sh, sh), out_specs=P()))
+
+
+def mesh_grid_cic(mesh, axis, N, vals_rm, offsets_rm):
+    """Block-sharded conservative CIC redeposit: each device deposits
+    its own ROW-MAJOR voxel range's mass (the 2-cell CIC stencil may
+    cross the shard boundary) into a local full-box partial; one psum
+    joins them — the additive-join contract riding ICI."""
+    fn = _mesh_grid_cic_fn(mesh, axis, int(N))
+    ox, oy, oz = offsets_rm
+    return fn(vals_rm, ox, oy, oz)
 
 
 def mesh_cellmajor_shell(mesh, axis, nside, F, C_blk, n_hi, use_rdelta,

@@ -53,7 +53,18 @@ class DefaultRunnerGrid:
     def __init__(self, HaloNDCatalog, GriddedMap, epsilon_max, model,
                  use_ellipticity=False, mass_def=None, verbose=True,
                  halo_chunk=64, n_buckets=8, precision="auto",
-                 method="auto"):
+                 method="auto", mesh=None, mesh_axis=None):
+        # multi-device execution: a jax.sharding.Mesh shards the Morton
+        # block axis of the cell-major passes (see parallel.py
+        # mesh_grid_* helpers); requires the cell-major method
+        self.mesh = mesh
+        self.mesh_axis = (mesh_axis if mesh_axis is not None
+                          else (mesh.axis_names[0] if mesh is not None
+                                else None))
+        if mesh is not None and method == "auto":
+            method = "cellmajor"
+        if mesh is not None and method != "cellmajor":
+            raise ValueError("mesh= requires the cell-major method")
         self.HaloNDCatalog = HaloNDCatalog
         self.GriddedMap = GriddedMap
         self.cosmo = HaloNDCatalog.cosmology
@@ -413,6 +424,14 @@ def _nsize_buckets(Nsizes, n_buckets):
     return [s for s in np.array_split(order, n_buckets) if s.size > 0]
 
 
+@jax.jit
+def _permute_add(acc_rm, plane_bm, inv):
+    """acc_rm[i] += plane_bm[inv[i]] — unsort one bucket's block-major
+    output into the row-major accumulator. With sharded operands the
+    gather crosses shard boundaries; GSPMD inserts the collective."""
+    return acc_rm + plane_bm[inv]
+
+
 class BaryonifyGrid(DefaultRunnerGrid):
     """Baryonify a 2D/3D mass grid (reference `Map2DRunner.py:370-615`).
 
@@ -526,7 +545,16 @@ class BaryonifyGrid(DefaultRunnerGrid):
                 model._table.astype(dt), gz, dt.type(z_coord))
             table_z = jnp.where(jnp.isfinite(table_z), table_z, 0.0)
             packed = self._grid_packed(arrs, R_com, dt)
-            offsets = tuple(jnp.zeros((N ** 3,), dtype=dt)
+            n_dev = (self.mesh.shape[self.mesh_axis]
+                     if self.mesh is not None else 1)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                sh = NamedSharding(self.mesh,
+                                   PartitionSpec(self.mesh_axis))
+                put = lambda x: jax.device_put(x, sh)
+            else:
+                put = lambda x: x
+            offsets = tuple(put(jnp.zeros((N ** 3,), dtype=dt))
                             for _ in range(3))
             g2_np = np.asarray(model._grids[2])
             if bool(inb_z):
@@ -541,7 +569,10 @@ class BaryonifyGrid(DefaultRunnerGrid):
                         self.epsilon_max * R_com[sel], dt)
                     nb = N // B_eff
                     F = B_eff ** 3
-                    C_blk = self._grid_cell_chunk(nb ** 3, F)
+                    ncell = nb ** 3
+                    assert ncell % n_dev == 0, (
+                        f"{ncell} blocks must split over {n_dev} devices")
+                    C_blk = self._grid_cell_chunk(ncell // n_dev, F)
                     rad_max = (np.log(self.epsilon_max) if use_rdelta
                                else np.log(self.epsilon_max
                                            * R_com[sel].max()))
@@ -549,29 +580,49 @@ class BaryonifyGrid(DefaultRunnerGrid):
                     if self.verbose:
                         print(f"Baryonifying matter: bucket {bi + 1} "
                               f"({len(sel)} halos, B={B}->{B_eff}, "
-                              f"K={K}, F={F}, C={C_blk}, n_hi={n_hi})")
+                              f"K={K}, F={F}, C={C_blk}, n_hi={n_hi}"
+                              + (f", mesh x{n_dev})" if self.mesh
+                                 is not None else ")"))
                     sel_dev = jnp.asarray(sel, dtype=jnp.int32)
-                    planes = gcm.grid_offsets_pass(
-                        use_rdelta, B_eff, C_blk, n_hi, N, half,
-                        dense, counts, packed[sel_dev], gM, table_z,
-                        g2, float(self.epsilon_max), dt.type(L),
-                        dt.type(res), dt.type(np.asarray(gm.bins)[0]),
-                        *(jnp.zeros((N ** 3,), dtype=dt)
-                          for _ in range(3)))
-                    inv = self._grid_inv_perm(N, B_eff)
-                    offsets = tuple(o + p[inv]
+                    bins0 = float(np.asarray(gm.bins)[0])
+                    if self.mesh is not None:
+                        from ..parallel import mesh_grid_offsets_bucket
+                        zb = put(jnp.zeros((N ** 3,), dtype=dt))
+                        planes = mesh_grid_offsets_bucket(
+                            self.mesh, self.mesh_axis, use_rdelta,
+                            B_eff, C_blk, n_hi, N, half,
+                            put(dense.reshape(ncell, -1)), put(counts),
+                            packed[sel_dev], gM, table_z, g2,
+                            float(self.epsilon_max), L, res, bins0,
+                            (zb, zb, zb))
+                    else:
+                        planes = gcm.grid_offsets_pass(
+                            use_rdelta, B_eff, C_blk, n_hi, N, half,
+                            dense, counts, packed[sel_dev], gM, table_z,
+                            g2, float(self.epsilon_max), dt.type(L),
+                            dt.type(res), dt.type(bins0),
+                            *(jnp.zeros((N ** 3,), dtype=dt)
+                              for _ in range(3)))
+                    inv = put(self._grid_inv_perm(N, B_eff))
+                    offsets = tuple(_permute_add(o, p, inv)
                                     for o, p in zip(offsets, planes))
 
             offsets_d = tuple(jnp.where(jnp.isfinite(o), o, 0.0)
                               for o in offsets)
-            vals = jnp.asarray(orig_map.reshape(-1), dtype=dt)
-            ixy, iz = np.divmod(np.arange(N ** 3), N)
-            ix, iy = np.divmod(ixy, N)
-            new_map = np.asarray(cic_deposit_3d(
-                N, offsets_d[0] + jnp.asarray(ix, dtype=dt),
-                offsets_d[1] + jnp.asarray(iy, dtype=dt),
-                offsets_d[2] + jnp.asarray(iz, dtype=dt),
-                vals, dtype=dt))
+            if self.mesh is not None:
+                from ..parallel import mesh_grid_cic
+                vals = put(jnp.asarray(orig_map.reshape(-1), dtype=dt))
+                new_map = np.asarray(mesh_grid_cic(
+                    self.mesh, self.mesh_axis, N, vals, offsets_d))
+            else:
+                vals = jnp.asarray(orig_map.reshape(-1), dtype=dt)
+                ixy, iz = np.divmod(np.arange(N ** 3), N)
+                ix, iy = np.divmod(ixy, N)
+                new_map = np.asarray(cic_deposit_3d(
+                    N, offsets_d[0] + jnp.asarray(ix, dtype=dt),
+                    offsets_d[1] + jnp.asarray(iy, dtype=dt),
+                    offsets_d[2] + jnp.asarray(iz, dtype=dt),
+                    vals, dtype=dt))
         new_sum, old_sum = new_map.sum(), orig_map.sum()
         assert np.isclose(new_sum, old_sum), (
             "ERROR in pixel regridding, sum(new_map) [%0.14e] != "
@@ -667,7 +718,16 @@ class PaintProfilesGrid(DefaultRunnerGrid):
             # sentinel (exp -> 0; keeps the one-hot matmuls NaN-free)
             table_z = jnp.where(jnp.isfinite(table_z), table_z, -1e30)
             packed = self._grid_packed(arrs, R_com, dt)
-            new_map = jnp.zeros((N ** 3,), dtype=dt)
+            n_dev = (self.mesh.shape[self.mesh_axis]
+                     if self.mesh is not None else 1)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                sh = NamedSharding(self.mesh,
+                                   PartitionSpec(self.mesh_axis))
+                put = lambda x: jax.device_put(x, sh)
+            else:
+                put = lambda x: x
+            new_map = put(jnp.zeros((N ** 3,), dtype=dt))
             g2_np = np.asarray(model._grids[2])
             idx_all = np.arange(len(R_com))
             if bool(inb_z):
@@ -682,22 +742,37 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                         self.epsilon_max * R_com[sel], dt)
                     nb = N // B_eff
                     F = B_eff ** 3
-                    C_blk = self._grid_cell_chunk(nb ** 3, F)
+                    ncell = nb ** 3
+                    assert ncell % n_dev == 0, (
+                        f"{ncell} blocks must split over {n_dev} devices")
+                    C_blk = self._grid_cell_chunk(ncell // n_dev, F)
                     rad_max = np.log(self.epsilon_max * R_com[sel].max())
                     n_hi = self._node_bound(g2_np, rad_max, len(g2_np))
                     if self.verbose:
                         print(f"Painting Profile: bucket {bi + 1} "
                               f"({len(sel)} halos, B={B}->{B_eff}, "
-                              f"K={K}, F={F}, C={C_blk}, n_hi={n_hi})")
+                              f"K={K}, F={F}, C={C_blk}, n_hi={n_hi}"
+                              + (f", mesh x{n_dev})" if self.mesh
+                                 is not None else ")"))
                     sel_dev = jnp.asarray(sel, dtype=jnp.int32)
-                    out_bm = gcm.grid_paint_pass(
-                        B_eff, C_blk, n_hi, N, half, dense, counts,
-                        packed[sel_dev], gM, table_z, g2,
-                        float(self.epsilon_max), dt.type(L),
-                        dt.type(res), dt.type(np.asarray(gm.bins)[0]),
-                        jnp.zeros((N ** 3,), dtype=dt))
-                    inv = self._grid_inv_perm(N, B_eff)
-                    new_map = new_map + out_bm[inv]
+                    bins0 = float(np.asarray(gm.bins)[0])
+                    if self.mesh is not None:
+                        from ..parallel import mesh_grid_paint_bucket
+                        out_bm = mesh_grid_paint_bucket(
+                            self.mesh, self.mesh_axis, B_eff, C_blk,
+                            n_hi, N, half, put(dense.reshape(ncell, -1)),
+                            put(counts), packed[sel_dev], gM, table_z,
+                            g2, float(self.epsilon_max), L, res, bins0,
+                            put(jnp.zeros((N ** 3,), dtype=dt)))
+                    else:
+                        out_bm = gcm.grid_paint_pass(
+                            B_eff, C_blk, n_hi, N, half, dense, counts,
+                            packed[sel_dev], gM, table_z, g2,
+                            float(self.epsilon_max), dt.type(L),
+                            dt.type(res), dt.type(bins0),
+                            jnp.zeros((N ** 3,), dtype=dt))
+                    inv = put(self._grid_inv_perm(N, B_eff))
+                    new_map = _permute_add(new_map, out_bm, inv)
             new_map = np.asarray(new_map)
         return new_map.reshape(N, N, N)
 

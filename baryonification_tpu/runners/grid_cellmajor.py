@@ -245,12 +245,13 @@ def _hat_readout(A_T, t, n_hi):
     return d
 
 
-def _voxel_planes(c0, C_blk, B, nb, bins0, res, dt):
+def _voxel_planes(c0, C_blk, B, nb, bins0, res, dt, block0=0):
     """(C, F) voxel-center coordinates for one chunk of MORTON-ordered
     blocks (consecutive ids are spatially compact, so the chunk-local
-    candidate bound k_max stays local)."""
+    candidate bound k_max stays local). ``block0`` offsets the GLOBAL
+    block id — under shard_map each device passes its shard's base."""
     F = B * B * B
-    b = c0 * C_blk + jnp.arange(C_blk, dtype=jnp.int32)
+    b = block0 + c0 * C_blk + jnp.arange(C_blk, dtype=jnp.int32)
     bx, by, bz = demorton3(b)
     f = jnp.arange(F, dtype=jnp.int32)
     ox, oyz = f // (B * B), f % (B * B)
@@ -275,7 +276,7 @@ def _window_ok(iv, cen, half, N):
 def grid_offsets_pass(use_rdelta, B, C_blk, n_hi, N, half,
                       hid_dense, counts, packed, gM, table_z, lnr_grid,
                       eps_max, L, res, bins0, ox_o, oy_o, oz_o,
-                      k_static=None):
+                      k_static=None, block0=0):
     """One bucket's displacement pass over all voxels in block-major
     order.
 
@@ -300,7 +301,8 @@ def grid_offsets_pass(use_rdelta, B, C_blk, n_hi, N, half,
 
     def one_chunk(c0):
         (ix, iy, iz), (xv, yv, zv) = _voxel_planes(c0, C_blk, B, nb,
-                                                   bins0, res, dt)
+                                                   bins0, res, dt,
+                                                   block0=block0)
         cnt = jax.lax.dynamic_slice_in_dim(counts, c0 * C_blk, C_blk)
         hid_blk = jax.lax.dynamic_slice_in_dim(
             hid_dense, c0 * C_blk * K_pad,
@@ -350,16 +352,19 @@ def grid_offsets_pass(use_rdelta, B, C_blk, n_hi, N, half,
         return bx_.reshape(-1), by_.reshape(-1), bz_.reshape(-1)
 
     bx_, by_, bz_ = jax.lax.map(one_chunk, jnp.arange(n_chunks))
-    npix3 = N * N * N
-    return (ox_o + bx_.reshape(npix3), oy_o + by_.reshape(npix3),
-            oz_o + bz_.reshape(npix3))
+    # accumulator length, NOT N^3: under shard_map each device owns
+    # ncell_local * F voxels
+    nvox = ox_o.shape[0]
+    return (ox_o + bx_.reshape(nvox), oy_o + by_.reshape(nvox),
+            oz_o + bz_.reshape(nvox))
 
 
 @partial(jax.jit, static_argnames=("B", "C_blk", "n_hi", "N", "half",
                                    "k_static"))
 def grid_paint_pass(B, C_blk, n_hi, N, half,
                     hid_dense, counts, packed, gM, table_z, lnr_grid,
-                    eps_max, L, res, bins0, new_map, k_static=None):
+                    eps_max, L, res, bins0, new_map, k_static=None,
+                    block0=0):
     """Cell-major painting pass over a 3D grid (log-profile table_z —
     non-finite nodes pre-sanitized to -1e30 by the caller; exp readout
     via the hat form, which keeps huge sentinels inert)."""
@@ -375,7 +380,8 @@ def grid_paint_pass(B, C_blk, n_hi, N, half,
 
     def one_chunk(c0):
         (ix, iy, iz), (xv, yv, zv) = _voxel_planes(c0, C_blk, B, nb,
-                                                   bins0, res, dt)
+                                                   bins0, res, dt,
+                                                   block0=block0)
         cnt = jax.lax.dynamic_slice_in_dim(counts, c0 * C_blk, C_blk)
         hid_blk = jax.lax.dynamic_slice_in_dim(
             hid_dense, c0 * C_blk * K_pad,
@@ -422,4 +428,4 @@ def grid_paint_pass(B, C_blk, n_hi, N, half,
         return out.reshape(-1)
 
     out = jax.lax.map(one_chunk, jnp.arange(n_chunks))
-    return new_map + out.reshape(N * N * N)
+    return new_map + out.reshape(new_map.shape[0])
