@@ -33,7 +33,7 @@ __all__ = ['SimpleParallel', 'SplitJoinParallel', 'mesh_shard_halos',
            'mesh_cellmajor_shell', 'mesh_offsets_bucket',
            'mesh_paint_bucket', 'mesh_regrid_shell', 'min_coarse_nside',
            'mesh_grid_offsets_bucket', 'mesh_grid_paint_bucket',
-           'mesh_grid_cic']
+           'mesh_grid_cic', 'mesh_snap_offsets_bucket']
 
 
 class SimpleParallel:
@@ -357,6 +357,46 @@ def mesh_grid_cic(mesh, axis, N, vals_rm, offsets_rm):
     fn = _mesh_grid_cic_fn(mesh, axis, int(N))
     ox, oy, oz = offsets_rm
     return fn(vals_rm, ox, oy, oz)
+
+
+@lru_cache(maxsize=None)
+def _mesh_snap_offsets_fn(mesh, axis, use_rdelta, P_pad, C_blk, n_hi,
+                          eps_max, a_scale, L, k_static):
+    """Compiled shard-mapped cell-major SNAPSHOT displacement pass:
+    padded particle planes, candidates and offsets all shard by
+    cell-list cells (disjoint box regions — no communication)."""
+    from .runners.snapshot_cellmajor import snapshot_offsets_pass
+
+    def step(dense_s, counts_h_s, px_s, py_s, pz_s, counts_p_s,
+             ox, oy, oz, packed, gM, table_z, lnr):
+        return snapshot_offsets_pass(
+            use_rdelta, P_pad, C_blk, n_hi, dense_s.reshape(-1),
+            counts_h_s, px_s, py_s, pz_s, counts_p_s, packed, gM,
+            table_z, lnr, eps_max, a_scale, L, ox, oy, oz,
+            k_static=k_static)
+
+    sh = P(axis)
+    rep = P()
+    return jax.jit(jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(sh, sh, sh, sh, sh, sh, sh, sh, sh,
+                  rep, rep, rep, rep),
+        out_specs=(sh, sh, sh)))
+
+
+def mesh_snap_offsets_bucket(mesh, axis, use_rdelta, P_pad, C_blk, n_hi,
+                             dense2d, counts_h, planes, counts_p, packed,
+                             gM, table_z, lnr_grid, eps_max, a_scale, L,
+                             offsets, k_static=None):
+    """One bucket of the cell-sharded particle-displacement pass."""
+    fn = _mesh_snap_offsets_fn(mesh, axis, bool(use_rdelta), int(P_pad),
+                               int(C_blk), int(n_hi), float(eps_max),
+                               float(a_scale), float(L),
+                               None if k_static is None else int(k_static))
+    px, py, pz = planes
+    ox, oy, oz = offsets
+    return fn(dense2d, counts_h, px, py, pz, counts_p, ox, oy, oz,
+              packed, gM, table_z, lnr_grid)
 
 
 def mesh_cellmajor_shell(mesh, axis, nside, F, C_blk, n_hi, use_rdelta,

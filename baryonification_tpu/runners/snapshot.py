@@ -54,7 +54,19 @@ class DefaultRunnerSnapshot:
 
     def __init__(self, HaloNDCatalog, ParticleSnapshot, epsilon_max, model,
                  mass_def=None, verbose=True, halo_chunk=32, n_buckets=4,
-                 n_cells=None, precision="auto", method="auto"):
+                 n_cells=None, precision="auto", method="auto",
+                 mesh=None, mesh_axis=None):
+        # multi-device execution: a jax.sharding.Mesh shards the
+        # cell-list cell axis of the cell-major pass (parallel.py
+        # mesh_snap_offsets_bucket); requires the cell-major method
+        self.mesh = mesh
+        self.mesh_axis = (mesh_axis if mesh_axis is not None
+                          else (mesh.axis_names[0] if mesh is not None
+                                else None))
+        if mesh is not None and method == "auto":
+            method = "cellmajor"
+        if mesh is not None and method != "cellmajor":
+            raise ValueError("mesh= requires the cell-major method")
         self.HaloNDCatalog = HaloNDCatalog
         self.ParticleSnapshot = ParticleSnapshot
         self.epsilon_max = epsilon_max
@@ -476,6 +488,17 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
                 model._table.astype(dt), gz, dt.type(z_coord))
             table_z = jnp.where(jnp.isfinite(table_z), table_z, 0.0)
             P_pad, (px, py, pz), counts_p, pad_idx = self._cm_staging(dt)
+            n_dev = (self.mesh.shape[self.mesh_axis]
+                     if self.mesh is not None else 1)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                sh = NamedSharding(self.mesh,
+                                   PartitionSpec(self.mesh_axis))
+                put = lambda x: jax.device_put(x, sh)
+                px, py, pz = put(px), put(py), put(pz)
+                counts_p = put(counts_p)
+            else:
+                put = lambda x: x
             # packed halo records (positions wrapped into [0, L))
             H = len(xh)
             cols = np.zeros((H, 16))
@@ -485,12 +508,12 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
             cols[:, 5] = np.log(R_com)
             packed = jnp.asarray(cols, dtype=dt)
             g2_np = np.asarray(model._grids[2])
-            zeros = jnp.zeros((ncell * P_pad,), dtype=dt)
+            zeros = put(jnp.zeros((ncell * P_pad,), dtype=dt))
             off_pad = (zeros, zeros, zeros)
             C_blk = 1
             target = 1 << 18
             while (C_blk * 2 * P_pad <= target
-                   and ncell % (C_blk * 2) == 0):
+                   and (ncell // n_dev) % (C_blk * 2) == 0):
                 C_blk *= 2
             if bool(inb_z):
                 order = np.argsort(R_q)
@@ -509,11 +532,22 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
                               f"({len(idx)} halos, n_cells={nb}, K={K}, "
                               f"P={P_pad}, C={C_blk}, n_hi={n_hi})")
                     sel_dev = jnp.asarray(idx, dtype=jnp.int32)
-                    off_pad = scm.snapshot_offsets_pass(
-                        use_rdelta, P_pad, C_blk, n_hi, dense, counts_h,
-                        px, py, pz, counts_p, packed[sel_dev], gM,
-                        table_z, g2, float(self.epsilon_max),
-                        dt.type(a), dt.type(L), *off_pad)
+                    if self.mesh is not None:
+                        from ..parallel import mesh_snap_offsets_bucket
+                        off_pad = mesh_snap_offsets_bucket(
+                            self.mesh, self.mesh_axis, use_rdelta,
+                            P_pad, C_blk, n_hi,
+                            put(dense.reshape(ncell, -1)), put(counts_h),
+                            (px, py, pz), counts_p, packed[sel_dev], gM,
+                            table_z, g2, float(self.epsilon_max),
+                            float(a), L, off_pad)
+                    else:
+                        off_pad = scm.snapshot_offsets_pass(
+                            use_rdelta, P_pad, C_blk, n_hi, dense,
+                            counts_h, px, py, pz, counts_p,
+                            packed[sel_dev], gM, table_z, g2,
+                            float(self.epsilon_max),
+                            dt.type(a), dt.type(L), *off_pad)
             # unpad: sorted-particle order, then the original unsort
             off_np = np.stack([np.asarray(o[pad_idx]) for o in off_pad],
                               axis=-1)

@@ -363,6 +363,37 @@ class TestRunnerMesh:
         np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
         assert want.sum() > 0
 
+    def test_baryonify_snapshot_mesh_matches(self, mesh):
+        """BaryonifySnapshot with mesh=: cell-list cells shard over
+        devices; displaced positions must match single-device."""
+        from baryonification_tpu import (HaloNDCatalog, ParticleSnapshot,
+                                         BaryonifySnapshot)
+        rng = np.random.default_rng(37)
+        L = 70.0
+        n_part = 4000
+        snap = ParticleSnapshot(x=rng.uniform(0, L, n_part),
+                                y=rng.uniform(0, L, n_part),
+                                z=rng.uniform(0, L, n_part),
+                                M=np.ones(n_part), L=L, redshift=0.25,
+                                cosmo=COSMO_DICT)
+        cat = HaloNDCatalog(x=rng.uniform(0, L, 10),
+                            y=rng.uniform(0, L, 10),
+                            z=rng.uniform(0, L, 10),
+                            M=10 ** rng.uniform(13.9, 14.7, 10),
+                            redshift=0.25, cosmo=COSMO_DICT)
+        model = _StubDisp()
+        want = BaryonifySnapshot(cat, snap, epsilon_max=10, model=model,
+                                 method="cellmajor",
+                                 verbose=False).process()
+        got = BaryonifySnapshot(cat, snap, epsilon_max=10, model=model,
+                                mesh=mesh, verbose=False).process()
+        moved = False
+        for c in 'xyz':
+            np.testing.assert_allclose(got[c], want[c], rtol=1e-12,
+                                       atol=1e-12)
+            moved = moved or not np.allclose(want[c], snap.cat[c])
+        assert moved
+
     def test_paint_shell_mesh_matches(self, mesh):
         from baryonification_tpu import PaintProfilesShell
 
