@@ -169,26 +169,47 @@ def refine_block_candidates(nb_child, dense_parent, counts_parent,
     nbp = nb_child // 2
     K_pad = dense_parent.shape[0] // (nbp ** 3)
     nc = nb_child ** 3
-    c = jnp.arange(nc, dtype=jnp.int32)
-    cx, cy, cz = demorton3(c)
-    # Morton is hierarchical: children of parent b are ids 8b..8b+7
-    hid = jnp.repeat(dense_parent.reshape(nbp ** 3, K_pad), 8, axis=0)
-    cnt = jnp.repeat(counts_parent, 8)
+    dt = hrec.dtype
     k = jnp.arange(K_pad, dtype=jnp.int32)[None, :]
-    rec = hrec[hid.reshape(-1)]
-    dt = rec.dtype
-    lim = rec[:, 3].reshape(nc, K_pad) + 0.5 * hb_child
+    dense_p2d = dense_parent.reshape(nbp ** 3, K_pad)
 
-    def ax_ok(ci, col):
-        ctr = (ci.astype(dt) + 0.5) * hb_child
-        d = ctr[:, None] - rec[:, col].reshape(nc, K_pad)
-        d = d - L * jnp.round(d / L)
-        return jnp.abs(d) <= lim
+    # chunk over child cells: the (Cc * K_pad, 16) record gather is the
+    # memory hot spot (a full-size gather is ~GBs at 1e7-particle cell
+    # counts); Cc stays a multiple of 8 so chunks align with parents
+    n_chunks = 1
+    while (nc // n_chunks) * K_pad > (1 << 22) \
+            and (nc // n_chunks) % 16 == 0:
+        n_chunks *= 2
+    Cc = nc // n_chunks
 
-    ok = (k < cnt[:, None]) & ax_ok(cx, 0) & ax_ok(cy, 1) & ax_ok(cz, 2)
-    keys = jnp.where(ok, k, K_pad + k)
-    _, hid_s = jax.lax.sort((keys, hid), num_keys=1)
-    counts_child = jnp.sum(ok, axis=1).astype(jnp.int32)
+    def one_chunk(ci):
+        c0 = ci * Cc
+        c = c0 + jnp.arange(Cc, dtype=jnp.int32)
+        cx, cy, cz = demorton3(c)
+        # Morton is hierarchical: children of parent b are ids 8b..8b+7
+        par = jax.lax.dynamic_slice_in_dim(dense_p2d, c0 // 8, Cc // 8)
+        hid = jnp.repeat(par, 8, axis=0)
+        cnt = jnp.repeat(jax.lax.dynamic_slice_in_dim(
+            counts_parent, c0 // 8, Cc // 8), 8)
+        rec = hrec[hid.reshape(-1)]
+        lim = rec[:, 3].reshape(Cc, K_pad) + 0.5 * hb_child
+
+        def ax_ok(ci_, col):
+            ctr = (ci_.astype(dt) + 0.5) * hb_child
+            d = ctr[:, None] - rec[:, col].reshape(Cc, K_pad)
+            d = d - L * jnp.round(d / L)
+            return jnp.abs(d) <= lim
+
+        ok = (k < cnt[:, None]) & ax_ok(cx, 0) & ax_ok(cy, 1) \
+            & ax_ok(cz, 2)
+        keys = jnp.where(ok, k, K_pad + k)
+        _, hid_s = jax.lax.sort((keys, hid), num_keys=1)
+        return hid_s, jnp.sum(ok, axis=1).astype(jnp.int32)
+
+    hid_s, counts_child = jax.lax.map(one_chunk,
+                                      jnp.arange(n_chunks))
+    hid_s = hid_s.reshape(nc, K_pad)
+    counts_child = counts_child.reshape(nc)
     return hid_s, counts_child, jnp.max(counts_child)
 
 

@@ -11,6 +11,8 @@ Measured (v5e, L=500 Mpc):
     cellmajor steady 2.04 s   gather steady 24.9 s    (12.2x)
   snap (5e6 particles, 1e5 halos):
     cellmajor steady 6.83 s   gather CRASHES the worker (memory)
+  snap (1e7 particles, 2e5 halos):
+    cellmajor steady 27.6 s   gather CRASHES the worker (memory)
   grid (256^3 voxels, 5e4 halos):
     cellmajor steady 11.4 s   scatter steady 49.7 s   (4.4x)
 """
