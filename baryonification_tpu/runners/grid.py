@@ -549,12 +549,17 @@ class BaryonifyGrid(DefaultRunnerGrid):
                      if self.mesh is not None else 1)
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
+                from ..parallel import pad_cells_for_mesh, pad_rows
                 sh = NamedSharding(self.mesh,
                                    PartitionSpec(self.mesh_axis))
                 put = lambda x: jax.device_put(x, sh)
+                # row-major (N^3) voxel arrays shard only when divisible;
+                # otherwise they stay replicated (the block axis is the
+                # one padded to any device count)
+                put_rm = put if (N ** 3) % n_dev == 0 else (lambda x: x)
             else:
-                put = lambda x: x
-            offsets = tuple(put(jnp.zeros((N ** 3,), dtype=dt))
+                put = put_rm = lambda x: x
+            offsets = tuple(put_rm(jnp.zeros((N ** 3,), dtype=dt))
                             for _ in range(3))
             g2_np = np.asarray(model._grids[2])
             if bool(inb_z):
@@ -570,9 +575,14 @@ class BaryonifyGrid(DefaultRunnerGrid):
                     nb = N // B_eff
                     F = B_eff ** 3
                     ncell = nb ** 3
-                    assert ncell % n_dev == 0, (
-                        f"{ncell} blocks must split over {n_dev} devices")
-                    C_blk = self._grid_cell_chunk(ncell // n_dev, F)
+                    if self.mesh is not None:
+                        # pad the block axis to any device count (zero
+                        # counts -> padded blocks are no-op work)
+                        ncell_pad, C_blk = pad_cells_for_mesh(
+                            ncell, n_dev, F)
+                    else:
+                        ncell_pad = ncell
+                        C_blk = self._grid_cell_chunk(ncell, F)
                     rad_max = (np.log(self.epsilon_max) if use_rdelta
                                else np.log(self.epsilon_max
                                            * R_com[sel].max()))
@@ -587,11 +597,13 @@ class BaryonifyGrid(DefaultRunnerGrid):
                     bins0 = float(np.asarray(gm.bins)[0])
                     if self.mesh is not None:
                         from ..parallel import mesh_grid_offsets_bucket
-                        zb = put(jnp.zeros((N ** 3,), dtype=dt))
+                        zb = put(jnp.zeros((ncell_pad * F,), dtype=dt))
                         planes = mesh_grid_offsets_bucket(
                             self.mesh, self.mesh_axis, use_rdelta,
                             B_eff, C_blk, n_hi, N, half,
-                            put(dense.reshape(ncell, -1)), put(counts),
+                            put(pad_rows(dense.reshape(ncell, -1),
+                                         ncell_pad)),
+                            put(pad_rows(counts, ncell_pad)),
                             packed[sel_dev], gM, table_z, g2,
                             float(self.epsilon_max), L, res, bins0,
                             (zb, zb, zb))
@@ -603,7 +615,7 @@ class BaryonifyGrid(DefaultRunnerGrid):
                             dt.type(res), dt.type(bins0),
                             *(jnp.zeros((N ** 3,), dtype=dt)
                               for _ in range(3)))
-                    inv = put(self._grid_inv_perm(N, B_eff))
+                    inv = put_rm(self._grid_inv_perm(N, B_eff))
                     offsets = tuple(_permute_add(o, p, inv)
                                     for o, p in zip(offsets, planes))
 
@@ -611,7 +623,7 @@ class BaryonifyGrid(DefaultRunnerGrid):
                               for o in offsets)
             if self.mesh is not None:
                 from ..parallel import mesh_grid_cic
-                vals = put(jnp.asarray(orig_map.reshape(-1), dtype=dt))
+                vals = jnp.asarray(orig_map.reshape(-1), dtype=dt)
                 new_map = np.asarray(mesh_grid_cic(
                     self.mesh, self.mesh_axis, N, vals, offsets_d))
             else:
@@ -722,12 +734,14 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                      if self.mesh is not None else 1)
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
+                from ..parallel import pad_cells_for_mesh, pad_rows
                 sh = NamedSharding(self.mesh,
                                    PartitionSpec(self.mesh_axis))
                 put = lambda x: jax.device_put(x, sh)
+                put_rm = put if (N ** 3) % n_dev == 0 else (lambda x: x)
             else:
-                put = lambda x: x
-            new_map = put(jnp.zeros((N ** 3,), dtype=dt))
+                put = put_rm = lambda x: x
+            new_map = put_rm(jnp.zeros((N ** 3,), dtype=dt))
             g2_np = np.asarray(model._grids[2])
             idx_all = np.arange(len(R_com))
             if bool(inb_z):
@@ -743,9 +757,12 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                     nb = N // B_eff
                     F = B_eff ** 3
                     ncell = nb ** 3
-                    assert ncell % n_dev == 0, (
-                        f"{ncell} blocks must split over {n_dev} devices")
-                    C_blk = self._grid_cell_chunk(ncell // n_dev, F)
+                    if self.mesh is not None:
+                        ncell_pad, C_blk = pad_cells_for_mesh(
+                            ncell, n_dev, F)
+                    else:
+                        ncell_pad = ncell
+                        C_blk = self._grid_cell_chunk(ncell, F)
                     rad_max = np.log(self.epsilon_max * R_com[sel].max())
                     n_hi = self._node_bound(g2_np, rad_max, len(g2_np))
                     if self.verbose:
@@ -760,10 +777,13 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                         from ..parallel import mesh_grid_paint_bucket
                         out_bm = mesh_grid_paint_bucket(
                             self.mesh, self.mesh_axis, B_eff, C_blk,
-                            n_hi, N, half, put(dense.reshape(ncell, -1)),
-                            put(counts), packed[sel_dev], gM, table_z,
+                            n_hi, N, half,
+                            put(pad_rows(dense.reshape(ncell, -1),
+                                         ncell_pad)),
+                            put(pad_rows(counts, ncell_pad)),
+                            packed[sel_dev], gM, table_z,
                             g2, float(self.epsilon_max), L, res, bins0,
-                            put(jnp.zeros((N ** 3,), dtype=dt)))
+                            put(jnp.zeros((ncell_pad * F,), dtype=dt)))
                     else:
                         out_bm = gcm.grid_paint_pass(
                             B_eff, C_blk, n_hi, N, half, dense, counts,
@@ -771,7 +791,7 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                             float(self.epsilon_max), dt.type(L),
                             dt.type(res), dt.type(bins0),
                             jnp.zeros((N ** 3,), dtype=dt))
-                    inv = put(self._grid_inv_perm(N, B_eff))
+                    inv = put_rm(self._grid_inv_perm(N, B_eff))
                     new_map = _permute_add(new_map, out_bm, inv)
             new_map = np.asarray(new_map)
         return new_map.reshape(N, N, N)

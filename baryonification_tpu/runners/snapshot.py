@@ -492,13 +492,21 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
                      if self.mesh is not None else 1)
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
+                from ..parallel import pad_cells_for_mesh, pad_rows
                 sh = NamedSharding(self.mesh,
                                    PartitionSpec(self.mesh_axis))
                 put = lambda x: jax.device_put(x, sh)
-                px, py, pz = put(px), put(py), put(pz)
-                counts_p = put(counts_p)
+                # pad the cell axis to any device count (zero particle/
+                # halo counts -> padded cells are no-op work)
+                ncell_pad, C_blk = pad_cells_for_mesh(ncell, n_dev,
+                                                      P_pad)
+                pad_plane = lambda p: put(pad_rows(
+                    p.reshape(ncell, P_pad), ncell_pad).reshape(-1))
+                px, py, pz = pad_plane(px), pad_plane(py), pad_plane(pz)
+                counts_p = put(pad_rows(counts_p, ncell_pad))
             else:
                 put = lambda x: x
+                ncell_pad = ncell
             # packed halo records (positions wrapped into [0, L))
             H = len(xh)
             cols = np.zeros((H, 16))
@@ -508,13 +516,14 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
             cols[:, 5] = np.log(R_com)
             packed = jnp.asarray(cols, dtype=dt)
             g2_np = np.asarray(model._grids[2])
-            zeros = put(jnp.zeros((ncell * P_pad,), dtype=dt))
+            zeros = put(jnp.zeros((ncell_pad * P_pad,), dtype=dt))
             off_pad = (zeros, zeros, zeros)
-            C_blk = 1
-            target = 1 << 18
-            while (C_blk * 2 * P_pad <= target
-                   and (ncell // n_dev) % (C_blk * 2) == 0):
-                C_blk *= 2
+            if self.mesh is None:
+                C_blk = 1
+                target = 1 << 18
+                while (C_blk * 2 * P_pad <= target
+                       and ncell % (C_blk * 2) == 0):
+                    C_blk *= 2
             if bool(inb_z):
                 order = np.argsort(R_q)
                 for bi, idx in enumerate(
@@ -537,7 +546,9 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
                         off_pad = mesh_snap_offsets_bucket(
                             self.mesh, self.mesh_axis, use_rdelta,
                             P_pad, C_blk, n_hi,
-                            put(dense.reshape(ncell, -1)), put(counts_h),
+                            put(pad_rows(dense.reshape(ncell, -1),
+                                         ncell_pad)),
+                            put(pad_rows(counts_h, ncell_pad)),
                             (px, py, pz), counts_p, packed[sel_dev], gM,
                             table_z, g2, float(self.epsilon_max),
                             float(a), L, off_pad)
