@@ -30,20 +30,28 @@ __all__ = ['DefaultRunnerGrid', 'BaryonifyGrid', 'PaintProfilesGrid',
 
 
 def build_Rmat(A, q):
-    """2D shear rotation matrix from major-axis vector A and axis ratio q
-    (galsim Shear conventions; reference `Map2DRunner.py:303-329`)."""
-    A = A / np.linalg.norm(A)
-    beta = np.arccos(np.clip(np.dot(A, np.array([1.0, 0.0])), -1, 1))
-    eta = -np.log(q)
-    if eta > 1e-4:
-        eta2g = np.tanh(0.5 * eta) / eta
-    else:
-        etasq = eta * eta
-        eta2g = 0.5 + etasq * ((-1 / 24) + etasq * (1 / 240))
-    g = eta2g * eta * np.exp(2j * beta)
-    g1, g2 = g.real, g.imag
-    det = np.sqrt(1 - np.abs(g) ** 2)
-    return np.array([[1 + g1, g2], [g2, 1 - g1]]) / det
+    """2D shear matrix mapping grid coordinates to the elliptical-radius
+    frame of a halo with axis vector A and axis ratio q (reference
+    `Map2DRunner.py:275-344`, galsim Shear conventions).
+
+    Closed form: the reference goes through conformal shear eta = -ln q
+    and a Taylor-guarded tanh, but |g| = tanh(eta/2) is exactly
+    (1 - q)/(1 + q), and the position angle only enters through
+    cos/sin(2 beta) which follow algebraically from the normalized axis
+    vector — no trig, logs, or series needed. beta = arccos(A_x) in
+    [0, pi] is the reference's convention (the sign of A_y does not
+    flip the orientation there; ellipse orientations are mod pi).
+
+    The matrix is area-preserving (det = 1): coordinates ALONG A are
+    stretched by q^(-1/2) and perpendicular ones shrunk by q^(1/2), so
+    iso-profile contours come out with semi-axis ratio q along A.
+    """
+    ax, ay = np.asarray(A, dtype=np.float64) / np.linalg.norm(A)
+    gmod = (1.0 - q) / (1.0 + q)
+    g1 = gmod * (2.0 * ax * ax - 1.0)        # |g| cos(2 beta)
+    g2 = gmod * (2.0 * ax * abs(ay))         # |g| sin(2 beta)
+    det = np.sqrt(1.0 - gmod * gmod)
+    return np.array([[1.0 + g1, g2], [g2, 1.0 - g1]]) / det
 
 
 class DefaultRunnerGrid:
@@ -313,11 +321,16 @@ def _accumulate_grid_offsets(Npix, half, n_props, use_rdelta, chunk, is2D,
             # the reference's inds[x_inds,:][:,y_inds] layout
             gx = relx[:, None] * jnp.ones((1, W))
             gy = jnp.ones((W, 1)) * rely[None, :]
+            # displacement magnitude reads at the ELLIPTICAL radius but
+            # pushes along the CIRCULAR unit vector, like the reference
+            # (`Map2DRunner.py:518-536`: x_hat is built from r_grid
+            # before it is overwritten with the elliptical radius)
             ex = Rm_h[0, 0] * gx + Rm_h[1, 0] * gy
             ey = Rm_h[0, 1] * gx + Rm_h[1, 1] * gy
             r = jnp.sqrt(ex * ex + ey * ey)
-            r_hat_x = gx / jnp.maximum(r, 1e-30)
-            r_hat_y = gy / jnp.maximum(r, 1e-30)
+            r_c = jnp.sqrt(gx * gx + gy * gy)
+            r_hat_x = gx / jnp.maximum(r_c, 1e-30)
+            r_hat_y = gy / jnp.maximum(r_c, 1e-30)
             d = readout(r.reshape(-1), M_h, R_h, pr_h) / res
             flat = (x_inds[:, None] * Npix + y_inds[None, :]).reshape(-1)
             return flat, jnp.stack([d * r_hat_x.reshape(-1),
