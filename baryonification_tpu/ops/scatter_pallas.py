@@ -181,12 +181,46 @@ def sorted_scatter_add_pallas(accs, idx_sorted, vals_sorted,
     return tuple(o.reshape(-1)[:Npix] for o in outs)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _sorted_scatter_diff(block_rows, tile_rows, accs, idx_sorted, vals):
+    """Differentiable wrapper for the Pallas sorted scatter-add.
+
+    Scatter-add is linear, so the VJP is exact with no kernel changes:
+    identity on the accumulator cotangents, a masked row gather on the
+    value cotangents (out-of-range sentinel rows get zero), and a float0
+    cotangent for the integer index rows."""
+    return sorted_scatter_add_pallas(accs, idx_sorted, vals,
+                                     block_rows=block_rows,
+                                     tile_rows=tile_rows)
+
+
+def _sorted_scatter_fwd(block_rows, tile_rows, accs, idx_sorted, vals):
+    out = sorted_scatter_add_pallas(accs, idx_sorted, vals,
+                                    block_rows=block_rows,
+                                    tile_rows=tile_rows)
+    return out, idx_sorted
+
+
+def _sorted_scatter_bwd(block_rows, tile_rows, idx_sorted, ct):
+    Npix = ct[0].shape[0]
+    ok = idx_sorted < Npix
+    safe = jnp.where(ok, idx_sorted, 0)
+    d_vals = tuple(jnp.where(ok, g[safe], 0.0).astype(g.dtype) for g in ct)
+    d_idx = np.zeros(idx_sorted.shape, dtype=jax.dtypes.float0)
+    return tuple(ct), d_idx, d_vals
+
+
+_sorted_scatter_diff.defvjp(_sorted_scatter_fwd, _sorted_scatter_bwd)
+
+
 def scatter_add_accum(accs, idx, vals, block_rows=1024, tile_rows=1024):
     """accs[c][idx] += vals[c] for unsorted idx (N,), channel tuples.
 
     Pallas fast path on TPU; XLA ``.at[].add`` elsewhere. Out-of-range
     indices (>= Npix) are dropped — callers use Npix as the mask sentinel.
     Channels are separate 1-D arrays (SoA; see sorted_scatter_add_pallas).
+    Differentiable on both paths (the Pallas path carries an exact
+    custom VJP — scatter-add is linear in accs and vals).
     """
     accs = tuple(accs)
     vals = tuple(vals)
@@ -202,8 +236,6 @@ def scatter_add_accum(accs, idx, vals, block_rows=1024, tile_rows=1024):
                      for a, v in zip(accs, vals))
     order = jnp.argsort(idx)
     idx_s = idx[order].astype(jnp.int32)
-    return sorted_scatter_add_pallas(accs, idx_s,
-                                     tuple(v[order].astype(accs[0].dtype)
-                                           for v in vals),
-                                     block_rows=block_rows,
-                                     tile_rows=tile_rows)
+    return _sorted_scatter_diff(block_rows, tile_rows, accs, idx_s,
+                                tuple(v[order].astype(accs[0].dtype)
+                                      for v in vals))

@@ -262,6 +262,75 @@ class DefaultRunnerGrid:
             c *= 2
         return c
 
+    def _windowed_offsets(self, gm, a, arrs, R_com, Nsize, idx_all,
+                          use_rdelta, grids_d, table_d, dt, offsets):
+        """Bucketed windowed-scatter displacement accumulation (shared by
+        process() and the differentiable process_device(); ``table_d``
+        may be traced — bucket geometry is concrete)."""
+        p_keys = getattr(self.model, 'p_keys', []) or []
+        for idx in _nsize_buckets(Nsize[idx_all], self.n_buckets):
+            sel = idx_all[idx]
+            half = int(Nsize[sel].max() // 2)
+            chunk = min(self.halo_chunk, len(sel))
+            n_pad = (-len(sel)) % chunk
+            pad = lambda v, fill=0.0: np.concatenate(
+                [v, np.full((n_pad,) + v.shape[1:], fill)]) if n_pad else v
+            offsets = _accumulate_grid_offsets(
+                gm.Npix, half, len(p_keys), use_rdelta, chunk, gm.is2D,
+                grids_d, table_d, float(self.epsilon_max), a,
+                gm.res, jnp.asarray(gm.bins, dtype=dt),
+                jnp.asarray(pad(arrs['x'][sel]), dtype=dt),
+                jnp.asarray(pad(arrs['y'][sel]), dtype=dt),
+                (jnp.asarray(pad(arrs['z'][sel]), dtype=dt)
+                 if not gm.is2D else None),
+                jnp.asarray(pad(arrs['M'][sel], 1.0), dtype=dt),
+                jnp.asarray(pad(R_com[sel], 1e-10), dtype=dt),
+                jnp.asarray(pad(arrs['Rmat'][sel]), dtype=dt),
+                jnp.asarray(pad(arrs['props'][sel]), dtype=dt), offsets)
+        return offsets
+
+    def _windowed_paint(self, gm, a, arrs, R_com, Nsize, grids_d,
+                        table_d, dt, new_map):
+        """Bucketed windowed-scatter painting (shared by process() and
+        process_device())."""
+        p_keys = getattr(self.model, 'p_keys', []) or []
+        for idx in _nsize_buckets(Nsize, self.n_buckets):
+            half = int(Nsize[idx].max() // 2)
+            chunk = min(self.halo_chunk, len(idx))
+            n_pad = (-len(idx)) % chunk
+            pad = lambda v, fill=0.0: np.concatenate(
+                [v, np.full((n_pad,) + v.shape[1:], fill)]) if n_pad else v
+            new_map = _accumulate_grid_paint(
+                gm.Npix, half, len(p_keys), chunk, gm.is2D,
+                grids_d, table_d, float(self.epsilon_max), a,
+                gm.res, jnp.asarray(gm.bins, dtype=dt),
+                jnp.asarray(pad(arrs['x'][idx]), dtype=dt),
+                jnp.asarray(pad(arrs['y'][idx]), dtype=dt),
+                (jnp.asarray(pad(arrs['z'][idx]), dtype=dt)
+                 if not gm.is2D else None),
+                jnp.asarray(pad(arrs['M'][idx], 1.0), dtype=dt),
+                jnp.asarray(pad(R_com[idx], 1e-10), dtype=dt),
+                jnp.asarray(pad(arrs['Rmat'][idx]), dtype=dt),
+                jnp.asarray(pad(arrs['props'][idx]), dtype=dt), new_map)
+        return new_map
+
+    def _cic_offsets(self, gm, offsets_d, orig_map, dt):
+        """CIC redeposit of the original map at displaced positions
+        (device array in, device array out; differentiable)."""
+        N = gm.Npix
+        vals = jnp.asarray(orig_map.reshape(-1), dtype=dt)
+        if gm.is2D:
+            ix, iy = np.divmod(np.arange(N * N), N)
+            return cic_deposit_2d(
+                N, offsets_d[0] + jnp.asarray(ix, dtype=dt),
+                offsets_d[1] + jnp.asarray(iy, dtype=dt), vals, dtype=dt)
+        ixy, iz = np.divmod(np.arange(N ** 3), N)
+        ix, iy = np.divmod(ixy, N)
+        return cic_deposit_3d(
+            N, offsets_d[0] + jnp.asarray(ix, dtype=dt),
+            offsets_d[1] + jnp.asarray(iy, dtype=dt),
+            offsets_d[2] + jnp.asarray(iz, dtype=dt), vals, dtype=dt)
+
     def _grid_inv_perm(self, N, B):
         """Row-major voxel id -> block-major position (for unsorting the
         pass outputs), cached per (N, B)."""
@@ -484,48 +553,15 @@ class BaryonifyGrid(DefaultRunnerGrid):
             grids_d = tuple(g.astype(dt) for g in model._grids)
             table_d = model._table.astype(dt)
             zeros = jnp.zeros((gm.Npix ** dim,), dtype=dt)
-            offsets = (zeros,) * dim
-            for idx in _nsize_buckets(Nsize[idx_all], self.n_buckets):
-                sel = idx_all[idx]
-                half = int(Nsize[sel].max() // 2)
-                chunk = min(self.halo_chunk, len(sel))
-                n_pad = (-len(sel)) % chunk
-                pad = lambda v, fill=0.0: np.concatenate(
-                    [v, np.full((n_pad,) + v.shape[1:], fill)]) if n_pad else v
-                offsets = _accumulate_grid_offsets(
-                    gm.Npix, half, len(p_keys), use_rdelta, chunk, gm.is2D,
-                    grids_d, table_d, float(self.epsilon_max), a,
-                    gm.res, jnp.asarray(gm.bins, dtype=dt),
-                    jnp.asarray(pad(arrs['x'][sel]), dtype=dt),
-                    jnp.asarray(pad(arrs['y'][sel]), dtype=dt),
-                    (jnp.asarray(pad(arrs['z'][sel]), dtype=dt)
-                     if not gm.is2D else None),
-                    jnp.asarray(pad(arrs['M'][sel], 1.0), dtype=dt),
-                    jnp.asarray(pad(R_com[sel], 1e-10), dtype=dt),
-                    jnp.asarray(pad(arrs['Rmat'][sel]), dtype=dt),
-                    jnp.asarray(pad(arrs['props'][sel]), dtype=dt), offsets)
-
+            offsets = self._windowed_offsets(gm, a, arrs, R_com, Nsize,
+                                             idx_all, use_rdelta, grids_d,
+                                             table_d, dt, (zeros,) * dim)
             offsets_d = tuple(jnp.where(jnp.isfinite(o), o, 0.0)
                               for o in offsets)
-
             # add integer grid coordinates and redeposit (CIC); map layout
             # is map[ix, iy(, iz)]: flat index (ix*N + iy)*... is C-order
-            N = gm.Npix
-            vals = jnp.asarray(orig_map.reshape(-1), dtype=dt)
-            if gm.is2D:
-                ix, iy = np.divmod(np.arange(N * N), N)
-                new_map = np.asarray(cic_deposit_2d(
-                    N, offsets_d[0] + jnp.asarray(ix, dtype=dt),
-                    offsets_d[1] + jnp.asarray(iy, dtype=dt),
-                    vals, dtype=dt))
-            else:
-                ixy, iz = np.divmod(np.arange(N ** 3), N)
-                ix, iy = np.divmod(ixy, N)
-                new_map = np.asarray(cic_deposit_3d(
-                    N, offsets_d[0] + jnp.asarray(ix, dtype=dt),
-                    offsets_d[1] + jnp.asarray(iy, dtype=dt),
-                    offsets_d[2] + jnp.asarray(iz, dtype=dt),
-                    vals, dtype=dt))
+            new_map = np.asarray(self._cic_offsets(gm, offsets_d,
+                                                   orig_map, dt))
 
         new_sum, old_sum = new_map.sum(), orig_map.sum()
         assert np.isclose(new_sum, old_sum), (
@@ -534,10 +570,14 @@ class BaryonifyGrid(DefaultRunnerGrid):
         return new_map
 
     def _process_cellmajor(self, gm, a, arrs, R_com, Nsize, idx_all,
-                           use_rdelta, orig_map):
+                           use_rdelta, orig_map, table=None, device=False):
         """Block-major dense pass (3D): see grid_cellmajor.py. Same
         per-bucket cutout semantics as the windowed path (the kernels
-        carry the [cen - half, cen + half) window test)."""
+        carry the [cen - half, cen + half) window test).
+
+        ``table`` overrides ``model._table`` and may be TRACED when
+        ``device=True`` (static k_static trip counts, no host round-trip
+        or conservation assert — the differentiable core)."""
         from contextlib import nullcontext
         from ..utils import x64_disabled
         from . import grid_cellmajor as gcm
@@ -554,8 +594,9 @@ class BaryonifyGrid(DefaultRunnerGrid):
                           model._grids[1].astype(dt),
                           model._grids[2].astype(dt))
             z_coord = float(np.log(1.0 / a))
-            table_z, inb_z = gcm.blend_table_z(
-                model._table.astype(dt), gz, dt.type(z_coord))
+            tbl = (model._table if table is None
+                   else jnp.asarray(table)).astype(dt)
+            table_z, inb_z = gcm.blend_table_z(tbl, gz, dt.type(z_coord))
             table_z = jnp.where(jnp.isfinite(table_z), table_z, 0.0)
             packed = self._grid_packed(arrs, R_com, dt)
             n_dev = (self.mesh.shape[self.mesh_axis]
@@ -627,7 +668,8 @@ class BaryonifyGrid(DefaultRunnerGrid):
                             g2, float(self.epsilon_max), dt.type(L),
                             dt.type(res), dt.type(bins0),
                             *(jnp.zeros((N ** 3,), dtype=dt)
-                              for _ in range(3)))
+                              for _ in range(3)),
+                            k_static=(max(int(K), 1) if device else None))
                     inv = put_rm(self._grid_inv_perm(N, B_eff))
                     offsets = tuple(_permute_add(o, p, inv)
                                     for o, p in zip(offsets, planes))
@@ -640,19 +682,71 @@ class BaryonifyGrid(DefaultRunnerGrid):
                 new_map = np.asarray(mesh_grid_cic(
                     self.mesh, self.mesh_axis, N, vals, offsets_d))
             else:
-                vals = jnp.asarray(orig_map.reshape(-1), dtype=dt)
-                ixy, iz = np.divmod(np.arange(N ** 3), N)
-                ix, iy = np.divmod(ixy, N)
-                new_map = np.asarray(cic_deposit_3d(
-                    N, offsets_d[0] + jnp.asarray(ix, dtype=dt),
-                    offsets_d[1] + jnp.asarray(iy, dtype=dt),
-                    offsets_d[2] + jnp.asarray(iz, dtype=dt),
-                    vals, dtype=dt))
+                new_map_d = self._cic_offsets(gm, offsets_d, orig_map, dt)
+                if device:
+                    return new_map_d
+                new_map = np.asarray(new_map_d)
         new_sum, old_sum = new_map.sum(), orig_map.sum()
         assert np.isclose(new_sum, old_sum), (
             "ERROR in pixel regridding, sum(new_map) [%0.14e] != "
             "sum(oldmap) [%0.14e]" % (new_sum, old_sum))
         return new_map
+
+    def process_device(self, table=None):
+        """Differentiable, device-resident counterpart of
+        :meth:`process` (cf. ``BaryonifyShell.process_device``,
+        shell.py). Geometry (buckets, registration, packed records)
+        is staged from concrete halo positions and the
+        epsilon_max * R_Delta reach only — table-independent — so
+        ``table`` (default ``model._table``) may be a TRACED array and
+        ``jax.grad`` flows from any scalar of the returned map back
+        through the kernels into the displacement table, and on into
+        physical parameters via ``build_table_device``. Covers BOTH
+        formulations: the 3D cell-major pass (static ``k_static`` trip
+        counts) and the windowed-scatter one — the only 2D path,
+        including ``use_ellipticity`` (the Pallas scatter carries an
+        exact custom VJP, so this also works on TPU). Returns the new
+        map as a device array; no conservation assert."""
+        assert self.mesh is None, (
+            "process_device is the single-device differentiable core; "
+            "use process() for mesh execution")
+        cosmo = Cosmology.from_dict(self.cosmo)
+        model = self.model
+        if table is None:
+            if not hasattr(model, '_table'):
+                raise NameError("Displacement model has no table. Run "
+                                "setup_interpolator() first")
+            table = model._table
+        gm = self.GriddedMap
+        orig_map = np.asarray(gm.map, dtype=np.float64)
+        a, arrs = self._halo_arrays(cosmo, comoving_R=False)
+        R_q = np.clip(self.epsilon_max * arrs['R'] / a, 0,
+                      np.max(gm.bins) / 2)
+        Nsize = (2 * R_q / gm.res).astype(np.int64) // 2 * 2
+        keep = Nsize >= 2
+        use_rdelta = bool(getattr(model, 'Rdelta_sampling', False))
+        dim = 2 if gm.is2D else 3
+        dt = self.dtype
+        R_com = arrs['R'] / a
+        idx_all = np.where(keep)[0]
+        if self.method == "cellmajor":
+            return self._process_cellmajor(gm, a, arrs, R_com, Nsize,
+                                           idx_all, use_rdelta, orig_map,
+                                           table=table, device=True)
+        from contextlib import nullcontext
+        from ..utils import x64_disabled
+        hot_ctx = (x64_disabled() if dt == jnp.dtype('float32')
+                   else nullcontext())
+        with hot_ctx:
+            grids_d = tuple(g.astype(dt) for g in model._grids)
+            table_d = jnp.asarray(table).astype(dt)
+            zeros = jnp.zeros((gm.Npix ** dim,), dtype=dt)
+            offsets = self._windowed_offsets(gm, a, arrs, R_com, Nsize,
+                                             idx_all, use_rdelta, grids_d,
+                                             table_d, dt, (zeros,) * dim)
+            offsets_d = tuple(jnp.where(jnp.isfinite(o), o, 0.0)
+                              for o in offsets)
+            return self._cic_offsets(gm, offsets_d, orig_map, dt)
 
 
 class PaintProfilesGrid(DefaultRunnerGrid):
@@ -694,33 +788,63 @@ class PaintProfilesGrid(DefaultRunnerGrid):
         with hot_ctx:
             grids_d = tuple(g.astype(dt) for g in model._grids)
             table_d = table.astype(dt)
-            new_map = jnp.zeros((gm.Npix ** dim,), dtype=dt)
-            for idx in _nsize_buckets(Nsize, self.n_buckets):
-                half = int(Nsize[idx].max() // 2)
-                chunk = min(self.halo_chunk, len(idx))
-                n_pad = (-len(idx)) % chunk
-                pad = lambda v, fill=0.0: np.concatenate(
-                    [v, np.full((n_pad,) + v.shape[1:], fill)]) if n_pad else v
-                new_map = _accumulate_grid_paint(
-                    gm.Npix, half, len(p_keys), chunk, gm.is2D,
-                    grids_d, table_d, float(self.epsilon_max), a,
-                    gm.res, jnp.asarray(gm.bins, dtype=dt),
-                    jnp.asarray(pad(arrs['x'][idx]), dtype=dt),
-                    jnp.asarray(pad(arrs['y'][idx]), dtype=dt),
-                    (jnp.asarray(pad(arrs['z'][idx]), dtype=dt)
-                     if not gm.is2D else None),
-                    jnp.asarray(pad(arrs['M'][idx], 1.0), dtype=dt),
-                    jnp.asarray(pad(R_com[idx], 1e-10), dtype=dt),
-                    jnp.asarray(pad(arrs['Rmat'][idx]), dtype=dt),
-                    jnp.asarray(pad(arrs['props'][idx]), dtype=dt), new_map)
-
+            new_map = self._windowed_paint(
+                gm, a, arrs, R_com, Nsize, grids_d, table_d, dt,
+                jnp.zeros((gm.Npix ** dim,), dtype=dt))
             new_map = np.asarray(new_map)
         if gm.is2D:
             return new_map.reshape(gm.Npix, gm.Npix)
         return new_map.reshape(gm.Npix, gm.Npix, gm.Npix)
 
-    def _paint_cellmajor(self, gm, a, arrs, R_com, Nsize, table):
-        """Block-major dense painting (3D; see grid_cellmajor.py)."""
+    def process_device(self, table=None):
+        """Differentiable, device-resident counterpart of
+        :meth:`process` (cf. ``PaintProfilesShell.process_device``).
+        ``table`` (default ``model._ln2D`` for 2D maps, ``_ln3D`` for
+        3D) may be TRACED — gradients flow from any scalar of the
+        painted map back into the log-profile table and on into gas
+        parameters via ``build_tables_device``. Works for both the 3D
+        cell-major formulation and the windowed one (the only 2D
+        path)."""
+        assert self.mesh is None, (
+            "process_device is the single-device differentiable core; "
+            "use process() for mesh execution")
+        cosmo = Cosmology.from_dict(self.cosmo)
+        model = self.model
+        gm = self.GriddedMap
+        if table is None:
+            if not hasattr(model, '_ln2D'):
+                raise NameError(
+                    "PaintProfilesGrid requires a tabulated model "
+                    "(TabulatedProfile / ParamTabulatedProfile).")
+            table = model._ln2D if gm.is2D else model._ln3D
+        a, arrs = self._halo_arrays(cosmo, comoving_R=True)
+        R_com = arrs['R']
+        Nsize = (2 * self.epsilon_max * R_com / gm.res).astype(np.int64)
+        Nsize = np.clip(Nsize // 2 * 2, 2, len(gm.bins) // 2)
+        if self.method == "cellmajor":
+            return self._paint_cellmajor(gm, a, arrs, R_com, Nsize,
+                                         table, device=True)
+        dim = 2 if gm.is2D else 3
+        dt = self.dtype
+        from contextlib import nullcontext
+        from ..utils import x64_disabled
+        hot_ctx = (x64_disabled() if dt == jnp.dtype('float32')
+                   else nullcontext())
+        with hot_ctx:
+            grids_d = tuple(g.astype(dt) for g in model._grids)
+            table_d = jnp.asarray(table).astype(dt)
+            new_map = self._windowed_paint(
+                gm, a, arrs, R_com, Nsize, grids_d, table_d, dt,
+                jnp.zeros((gm.Npix ** dim,), dtype=dt))
+        if gm.is2D:
+            return new_map.reshape(gm.Npix, gm.Npix)
+        return new_map.reshape(gm.Npix, gm.Npix, gm.Npix)
+
+    def _paint_cellmajor(self, gm, a, arrs, R_com, Nsize, table,
+                         device=False):
+        """Block-major dense painting (3D; see grid_cellmajor.py).
+        ``device=True``: traced-table differentiable core (static
+        k_static trip counts, device-array return)."""
         from contextlib import nullcontext
         from ..utils import x64_disabled
         from . import grid_cellmajor as gcm
@@ -737,8 +861,8 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                           model._grids[1].astype(dt),
                           model._grids[2].astype(dt))
             z_coord = float(np.log(1.0 / a))
-            table_z, inb_z = gcm.blend_table_z(table.astype(dt), gz,
-                                               dt.type(z_coord))
+            table_z, inb_z = gcm.blend_table_z(
+                jnp.asarray(table).astype(dt), gz, dt.type(z_coord))
             # log-profile table: -inf/NaN nodes -> large negative FINITE
             # sentinel (exp -> 0; keeps the one-hot matmuls NaN-free)
             table_z = jnp.where(jnp.isfinite(table_z), table_z, -1e30)
@@ -803,9 +927,12 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                             packed[sel_dev], gM, table_z, g2,
                             float(self.epsilon_max), dt.type(L),
                             dt.type(res), dt.type(bins0),
-                            jnp.zeros((N ** 3,), dtype=dt))
+                            jnp.zeros((N ** 3,), dtype=dt),
+                            k_static=(max(int(K), 1) if device else None))
                     inv = put_rm(self._grid_inv_perm(N, B_eff))
                     new_map = _permute_add(new_map, out_bm, inv)
+            if device:
+                return new_map.reshape(N, N, N)
             new_map = np.asarray(new_map)
         return new_map.reshape(N, N, N)
 
