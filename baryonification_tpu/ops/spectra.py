@@ -5,13 +5,30 @@ Replaces the reference's notebook-side diagnostics:
   box-folding for high k (`examples/10_Reproduce_Schneider_deltaPk.ipynb`
   cells 12/18) -> jnp.fft.rfftn + segment-sum radial binning.
 - C_ell: healpy.anafast (`examples/09_Reproduce_Schneider_deltaCls.ipynb`)
-  -> a direct spherical-harmonic transform over iso-latitude rings with
-  overflow-safe normalized-Legendre recurrences.
+  -> a ring-FFT spherical-harmonic transform (production path, exact
+  quadrature at pixel centers like anafast without iterative
+  refinement), in two stages:
 
-The SHT is exact (quadrature at pixel centers, like anafast without
-iterative refinement); its cost is O(lmax^2 * nring) via an m-scan, fine
-for diagnostic NSIDEs. A ring-FFT + Pallas pipeline is the planned
-optimization for production NSIDE=1024 spectra.
+  1. per-ring Fourier coefficients G_m(ring) via batched BLUESTEIN
+     DFTs: every HEALPix ring has a different pixel count (4i in the
+     caps), so a plain batched FFT cannot produce the native-length
+     DFTs — Bluestein re-expresses each length-n DFT as one
+     convolution of chirped sequences, which embeds in a SINGLE
+     power-of-two FFT length shared by all 4*nside-1 rings. Exact for
+     every ring size, three batched FFTs total. Frequencies above a
+     ring's Nyquist alias as m mod npr (gathered once).
+  2. one Legendre-recurrence scan over ell, vectorized across the full
+     (m, ring) plane, with a libsharp-style SCALED representation
+     (lambda = p * FOLD^-sc, rescaled as it grows): high-m sectoral
+     seeds underflow any float near the poles but the true lambda_lm
+     recovers to O(1) past the turning point — the scale counter keeps
+     those contributions, which plain floats silently zero.
+
+  The old O(lmax^2 * nring * npr) per-m phase-matrix transform is kept
+  as ``anafast_direct`` (a cross-check oracle for tests); the scan
+  stage here is the irreducible O(lmax^2 * nring) of any standard SHT
+  but runs as fused full-plane VPU work, making NSIDE=1024 / lmax=3072
+  spectra practical on one chip.
 """
 
 from functools import partial
@@ -22,7 +39,8 @@ import jax.numpy as jnp
 
 from . import healpix as hpx
 
-__all__ = ["power_spectrum_3d", "power_spectrum_2d", "anafast"]
+__all__ = ["power_spectrum_3d", "power_spectrum_2d", "anafast",
+           "anafast_direct"]
 
 
 def power_spectrum_3d(delta, L, n_bins=None, subtract_shot=0.0):
@@ -104,12 +122,16 @@ def power_spectrum_2d(delta, L, n_bins=None):
 
 
 @partial(jax.jit, static_argnames=("nside", "lmax"))
-def anafast(hmap, nside, lmax):
-    """Angular power spectrum C_ell of a RING-ordered HEALPix map.
+def anafast_direct(hmap, nside, lmax):
+    """Angular power spectrum C_ell of a RING-ordered HEALPix map —
+    the O(lmax^2) per-m phase-matrix formulation.
 
     Direct SHT: per-ring Fourier sums G_m(ring) then a normalized-Legendre
     ell-recurrence per m, accumulated into C_ell. Matches healpy.anafast
     (without pixel-window deconvolution or iterative quadrature).
+    Diagnostic-NSIDE oracle for :func:`anafast` (the ring-FFT
+    production path); kept because its per-m structure is independent
+    of the batched Bluestein + scaled-recurrence machinery.
     """
     hmap = jnp.asarray(hmap, dtype=jnp.float64)
     nring = 4 * nside - 1
@@ -178,3 +200,157 @@ def anafast(hmap, nside, lmax):
                            lambda m, acc: per_m(m, acc),
                            jnp.zeros(lmax + 1))
     return cl / (2.0 * ell + 1.0)
+
+
+def _ring_dfts(vals, npr, M):
+    """Native-length DFT of every padded ring row via batched Bluestein.
+
+    vals : (nring, maxn) real ring samples, zero beyond npr[r]
+    npr  : (nring,) int32 ring lengths (all <= maxn)
+    M    : static convolution length, power of two >= 2 * maxn
+
+    Returns complex D[r, k] = sum_j vals[r, j] e^{-2 pi i j k / npr[r]}
+    for k < npr[r] (zero beyond). Bluestein: with chirp
+    w_j = e^{i pi j^2 / n}, D[k] = conj(w_k) * (a (*) b)[k] where
+    a_j = f_j conj(w_j) and b_j = w_j for |j| < n — ONE circular
+    convolution of length M, shared by every ring regardless of its n.
+    Chirp phases use j^2 mod 2n (exact in int32: e^{-i pi (2n t)/n} = 1),
+    so single precision stays accurate at j ~ 4 * nside.
+    """
+    nring, maxn = vals.shape
+    dt = vals.dtype
+    n = npr[:, None].astype(jnp.int32)
+    j = jnp.arange(maxn, dtype=jnp.int32)[None, :]
+    jsq = (j * j) % (2 * n)
+    theta = (jnp.pi * jsq.astype(dt)) / n.astype(dt)
+    w = jnp.exp(1j * theta)                       # (nring, maxn)
+    a = jnp.where(j < n, vals, 0.0) * jnp.conj(w)
+    A = jnp.fft.fft(a, n=M, axis=1)
+
+    jj = jnp.arange(M, dtype=jnp.int32)[None, :]
+    s = jnp.minimum(jj, M - jj)                   # wrapped |offset|
+    ssq = (s * s) % (2 * n)
+    b = jnp.where(s < n,
+                  jnp.exp(1j * (jnp.pi * ssq.astype(dt)) / n.astype(dt)),
+                  0.0)
+    conv = jnp.fft.ifft(A * jnp.fft.fft(b, axis=1), axis=1)[:, :maxn]
+    D = jnp.conj(w) * conv
+    return jnp.where(j < n, D, 0.0)
+
+
+def _anafast_seeds(nside, lmax, log_fold):
+    """Host-side (f64 numpy) geometry + scaled sectoral seeds.
+
+    Returns ring geometry and (p_mm, sc0) with
+    lambda_mm(x_r) = p_mm[m, r] * FOLD^(-sc0[m, r]), p_mm in (1/F, 1].
+    Precomputing in f64 on the host keeps the m*log(sin theta) seed
+    exponents exact even when the device scan runs in f32."""
+    rings = np.arange(1, 4 * nside)
+    z, start, npr, shift = (np.asarray(v, dtype=np.float64)
+                            for v in hpx.ring_info(nside, rings))
+    sx = np.sqrt(np.maximum(1.0 - z * z, 0.0))    # > 0 on every ring
+    m = np.arange(lmax + 1, dtype=np.float64)
+    k = np.arange(1, lmax + 1, dtype=np.float64)
+    logdd = np.cumsum(np.log((2 * k - 1.0) / (2 * k)))
+    log_pref = 0.5 * (np.log((2 * m + 1) / (4 * np.pi))
+                      + np.concatenate([[0.0], logdd]))
+    logp = log_pref[:, None] + m[:, None] * np.log(sx)[None, :]
+    sc0 = np.maximum(np.floor(-logp / log_fold), 0.0)
+    sign = 1.0 - 2.0 * (np.arange(lmax + 1) % 2)
+    p_mm = sign[:, None] * np.exp(logp + sc0 * log_fold)
+    return (z, start.astype(np.int64), npr.astype(np.int64), shift,
+            p_mm, sc0.astype(np.int32))
+
+
+@partial(jax.jit, static_argnames=("nside", "lmax", "M"))
+def _anafast_core(hmap, nside, lmax, M, z_d, start_d, npr_d, shift_d,
+                  p_mm, sc0):
+    dt = hmap.dtype
+    maxn = 4 * nside
+    nring = 4 * nside - 1
+    dOmega = 4 * np.pi / hpx.npix(nside)
+
+    # pack rings into a padded (nring, 4*nside) matrix
+    j = jnp.arange(maxn)
+    pix = start_d[:, None] + jnp.minimum(j[None, :], npr_d[:, None] - 1)
+    vals = jnp.where(j[None, :] < npr_d[:, None], hmap[pix], 0.0)
+
+    # stage 1: G[m, r] = dOmega e^{-i m phi0(r)} D[r, m mod npr]
+    D = _ring_dfts(vals, npr_d.astype(jnp.int32), M)
+    mi = jnp.arange(lmax + 1, dtype=jnp.int32)
+    kk = jnp.mod(mi[None, :], npr_d[:, None].astype(jnp.int32))
+    Dg = jnp.take_along_axis(D, kk, axis=1).T          # (L, nring)
+    phi0 = shift_d * (2 * jnp.pi) / npr_d.astype(dt)
+    G = dt.type(dOmega) * jnp.exp(
+        -1j * mi[:, None].astype(dt) * phi0[None, :]) * Dg
+    Gr, Gi = jnp.real(G).astype(dt), jnp.imag(G).astype(dt)
+
+    # stage 2: scaled normalized-Legendre scan over ell, full (m, ring)
+    # plane per step. lambda = p * FOLD^-sc; contributions only where
+    # sc == 0 (the rest are < BIG/FOLD ~ 1e-20 relative — libsharp's
+    # truncation).
+    if dt == jnp.dtype('float64'):
+        FOLD, BIG = 1e40, 1e20
+    else:
+        FOLD, BIG = 1e20, 1e10
+    x_row = z_d[None, :].astype(dt)
+    mf = mi.astype(dt)[:, None]
+    mult = jnp.where(mi == 0, 1.0, 2.0).astype(dt)
+    p_mm = p_mm.astype(dt)
+
+    def step(carry, l):
+        p2, p1, sc = carry
+        lf = l.astype(dt)
+        # factored forms: l^2 - m^2 = (l-m)(l+m) avoids f32 cancellation.
+        # Numerator AND denominator clamps only ever bite on lanes the
+        # l<m / seed masks discard (l <= 1 or l <= m+1) — without them
+        # sqrt(negative junk) turns 0*NaN into NaN on live lanes.
+        al = jnp.sqrt(jnp.maximum((2 * lf - 1) * (2 * lf + 1), 0.5)
+                      / jnp.maximum((lf - mf) * (lf + mf), 0.5))
+        al1 = jnp.sqrt(jnp.maximum((2 * lf - 3) * (2 * lf - 1), 0.5)
+                       / jnp.maximum((lf - 1 - mf) * (lf - 1 + mf), 0.5))
+        p = al * (x_row * p1 - p2 / al1)
+        is_seed = (l == mi[:, None])
+        p = jnp.where(is_seed, p_mm, p)
+        sc = jnp.where(is_seed, sc0, sc)
+        grow = (jnp.abs(p) > BIG) & (sc > 0)
+        p = jnp.where(grow, p * (1.0 / FOLD), p)
+        new_p2 = jnp.where(is_seed, 0.0,
+                           jnp.where(grow, p1 * (1.0 / FOLD), p1))
+        sc = sc - grow.astype(jnp.int32)
+        lam = jnp.where(sc == 0, p, 0.0)
+        Ar = jnp.sum(Gr * lam, axis=1)
+        Ai = jnp.sum(Gi * lam, axis=1)
+        cl = jnp.sum(mult * (Ar * Ar + Ai * Ai))
+        return (new_p2, p, sc), cl
+
+    zero = jnp.zeros((lmax + 1, nring), dtype=dt)
+    (_, _, _), cl = jax.lax.scan(
+        step, (zero, zero, jnp.zeros((lmax + 1, nring), jnp.int32)),
+        jnp.arange(lmax + 1))
+    ell = jnp.arange(lmax + 1, dtype=dt)
+    return cl / (2.0 * ell + 1.0)
+
+
+def anafast(hmap, nside, lmax):
+    """Angular power spectrum C_ell of a RING-ordered HEALPix map —
+    the ring-FFT production path (see module docstring). Matches
+    healpy.anafast (no pixel-window deconvolution or iterative
+    quadrature) and ``anafast_direct`` to float precision; runs
+    NSIDE=1024 / lmax ~ 3*nside on a single chip.
+
+    Precision follows the jax x64 mode: f64 (CPU default) or f32
+    (accelerators) — seeds are always precomputed in f64 on the host.
+    """
+    hmap = jnp.asarray(hmap)
+    dt = jnp.zeros(0).dtype          # respects enable_x64
+    hmap = hmap.astype(dt)
+    M = 1
+    while M < 8 * nside:
+        M *= 2
+    lnF = np.log(1e40 if dt == jnp.dtype('float64') else 1e20)
+    z, start, npr, shift, p_mm, sc0 = _anafast_seeds(nside, lmax, lnF)
+    return _anafast_core(hmap, nside, lmax, M,
+                         jnp.asarray(z, dtype=dt), jnp.asarray(start),
+                         jnp.asarray(npr), jnp.asarray(shift, dtype=dt),
+                         jnp.asarray(p_mm, dtype=dt), jnp.asarray(sc0))

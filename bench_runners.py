@@ -1,12 +1,14 @@
-"""Secondary runner benchmarks: grid/snapshot cell-major vs the
-halo-major formulations, on the real TPU (NOT the driver's headline
-bench — that is bench.py).
+"""Secondary runner benchmarks: every runner family x {baryonify, paint}
+on the real TPU (NOT the driver's headline bench — that is bench.py).
 
-Usage:  python bench_runners.py snap   # particle snapshot displacement
-        python bench_runners.py grid   # 3D grid baryonify
-Scales via NHALO / NPART / NGRID env vars. One TPU process at a time.
+Usage:  python bench_runners.py snap     # particle snapshot displacement
+        python bench_runners.py grid     # 3D grid baryonify
+        python bench_runners.py grid2d   # flat-sky 2D map baryonify+paint
+        python bench_runners.py paint    # NSIDE=1024 tSZ shell painting
+Scales via NHALO / NPART / NGRID / NSIDE env vars. One TPU process at a
+time.
 
-Measured (v5e, L=500 Mpc):
+Measured (v5e, L=500 Mpc unless noted):
   snap (2e6 particles, 3e4 halos):
     cellmajor steady 2.04 s   gather steady 24.9 s    (12.2x)
   snap (5e6 particles, 1e5 halos):
@@ -15,6 +17,7 @@ Measured (v5e, L=500 Mpc):
     cellmajor steady 27.6 s   gather CRASHES the worker (memory)
   grid (256^3 voxels, 5e4 halos):
     cellmajor steady 11.4 s   scatter steady 49.7 s   (4.4x)
+  paint / grid2d: see README perf table (measured per round).
 """
 import os
 import sys
@@ -27,10 +30,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from baryonification_tpu import Cosmology, HaloNDCatalog, GriddedMap, ParticleSnapshot
-from baryonification_tpu.displacement import Baryonification3D
-from baryonification_tpu.profiles import DarkMatterOnly, DarkMatterBaryon
-from baryonification_tpu.runners import BaryonifyGrid, BaryonifySnapshot
+from baryonification_tpu import (Cosmology, HaloNDCatalog, GriddedMap,
+                                 ParticleSnapshot, HaloLightConeCatalog,
+                                 LightconeShell, ConvolvedProfile,
+                                 HealPixel, TabulatedProfile)
+from baryonification_tpu.displacement import (Baryonification2D,
+                                              Baryonification3D)
+from baryonification_tpu.profiles import (DarkMatterOnly, DarkMatterBaryon,
+                                          ThermalSZ)
+from baryonification_tpu.runners import (BaryonifyGrid, BaryonifySnapshot,
+                                         PaintProfilesGrid,
+                                         PaintProfilesShell)
+from baryonification_tpu.ops import healpix as hpx
 
 COSMO = dict(Omega_m=0.3, Omega_b=0.05, h=0.7, sigma8=0.8, n_s=0.96, w0=-1.0)
 PAR = dict(epsilon=4.0, theta_ej=4, theta_co=0.1, M_c=1e14, mu_beta=0.1,
@@ -42,39 +53,99 @@ PAR = dict(epsilon=4.0, theta_ej=4, theta_co=0.1, M_c=1e14, mu_beta=0.1,
 
 which = sys.argv[1] if len(sys.argv) > 1 else "grid"
 cosmo = Cosmology.from_dict(COSMO)
-cache = ".bench_table3d.npz"
-model = Baryonification3D(DarkMatterOnly(**PAR), DarkMatterBaryon(**PAR),
-                          cosmo, epsilon_max=15)
-if os.path.exists(cache):
-    model.load_table(cache)
-else:
-    t0 = time.time()
-    model.setup_interpolator(z_min=0.05, z_max=1.0, N_samples_z=8,
-                             M_min=1e12, M_max=1e16, N_samples_Mass=24,
-                             R_min=1e-3, R_max=1e2, N_samples_R=100)
-    print(f"# table: {time.time()-t0:.0f}s", file=sys.stderr)
-    model.save_table(cache)
-
 rng = np.random.default_rng(3)
-L = 500.0
-n_halo = int(os.environ.get("NHALO", 100_000))
-u = rng.uniform(0, 1, n_halo)
-M = 1e13 * (1 - u * (1 - (10 ** 15.0 / 1e13) ** (-0.8))) ** (-1 / 0.8)
-hx, hy, hz = (rng.uniform(0, L, n_halo) for _ in range(3))
-cat = HaloNDCatalog(x=hx, y=hy, z=hz, M=M, redshift=0.25, cosmo=COSMO)
 
-def run(runner, tag):
+
+def power_law_masses(n, Mlo=1e13, Mhi=1e15, slope=-0.8):
+    u = rng.uniform(0, 1, n)
+    return Mlo * (1 - u * (1 - (Mhi / Mlo) ** slope)) ** (1 / slope)
+
+
+def disp_model_3d():
+    cache = ".bench_table3d.npz"
+    model = Baryonification3D(DarkMatterOnly(**PAR),
+                              DarkMatterBaryon(**PAR), cosmo,
+                              epsilon_max=15)
+    if os.path.exists(cache):
+        model.load_table(cache)
+    else:
+        t0 = time.time()
+        model.setup_interpolator(z_min=0.05, z_max=1.0, N_samples_z=8,
+                                 M_min=1e12, M_max=1e16,
+                                 N_samples_Mass=24, R_min=1e-3, R_max=1e2,
+                                 N_samples_R=100)
+        print(f"# table: {time.time()-t0:.0f}s", file=sys.stderr)
+        model.save_table(cache)
+    return model
+
+
+def disp_model_2d():
+    cache = ".bench_table2d_flat.npz"
+    model = Baryonification2D(DarkMatterOnly(**PAR),
+                              DarkMatterBaryon(**PAR), cosmo,
+                              epsilon_max=15)
+    if os.path.exists(cache):
+        model.load_table(cache)
+    else:
+        t0 = time.time()
+        model.setup_interpolator(z_min=0.05, z_max=1.0, N_samples_z=8,
+                                 M_min=1e12, M_max=1e16,
+                                 N_samples_Mass=24, R_min=1e-3, R_max=1e2,
+                                 N_samples_R=100)
+        print(f"# table: {time.time()-t0:.0f}s", file=sys.stderr)
+        model.save_table(cache)
+    return model
+
+
+def tsz_model(nside):
+    """Pixel-convolved ThermalSZ TabulatedProfile (cached npz — the
+    reference's flagship painting model, examples/05 cell 12)."""
+    cache = f".bench_tsz_{nside}.npz"
+    tab = TabulatedProfile(ConvolvedProfile(ThermalSZ(**PAR),
+                                            HealPixel(NSIDE=nside)), cosmo)
+    if os.path.exists(cache):
+        d = np.load(cache)
+        tab._grids = tuple(jnp.asarray(d[k]) for k in
+                           ("g0", "g1", "g2"))
+        tab._ln3D = jnp.asarray(d["ln3D"])
+        tab._ln2D = jnp.asarray(d["ln2D"])
+    else:
+        t0 = time.time()
+        tab.setup_interpolator(z_min=0.05, z_max=1.0, N_samples_z=8,
+                               M_min=1e12, M_max=1e16, N_samples_Mass=24,
+                               R_min=1e-3, R_max=1e2, N_samples_R=100)
+        print(f"# tSZ table: {time.time()-t0:.0f}s", file=sys.stderr)
+        np.savez(cache, g0=np.asarray(tab._grids[0]),
+                 g1=np.asarray(tab._grids[1]),
+                 g2=np.asarray(tab._grids[2]),
+                 ln3D=np.asarray(tab._ln3D), ln2D=np.asarray(tab._ln2D))
+    return tab
+
+
+def run(runner, tag, n_steady=2):
     t0 = time.time()
-    runner.process()
+    out = runner.process()
+    # device sync: block_until_ready is not a barrier on axon
+    _ = float(np.asarray(out).sum())
     warm = time.time() - t0
     ts = []
-    for _ in range(2):
+    for _i in range(n_steady):
         t0 = time.time()
-        runner.process()
+        out = runner.process()
+        _ = float(np.asarray(out).sum())
         ts.append(time.time() - t0)
     print(f"{tag}: warm {warm:.1f}s steady {min(ts):.2f}s")
 
+
 if which == "grid":
+    L = 500.0
+    n_halo = int(os.environ.get("NHALO", 100_000))
+    cat = HaloNDCatalog(x=rng.uniform(0, L, n_halo),
+                        y=rng.uniform(0, L, n_halo),
+                        z=rng.uniform(0, L, n_halo),
+                        M=power_law_masses(n_halo), redshift=0.25,
+                        cosmo=COSMO)
+    model = disp_model_3d()
     N = int(os.environ.get("NGRID", 256))
     bins = (np.arange(N) + 0.5) * (L / N)
     gm = GriddedMap(map=rng.uniform(0.5, 1.5, (N, N, N)).astype(np.float64),
@@ -82,7 +153,16 @@ if which == "grid":
     for method in ("cellmajor", "scatter"):
         run(BaryonifyGrid(cat, gm, epsilon_max=15, model=model,
                           method=method, verbose=False), f"grid/{method}")
-else:
+
+elif which == "snap":
+    L = 500.0
+    n_halo = int(os.environ.get("NHALO", 100_000))
+    cat = HaloNDCatalog(x=rng.uniform(0, L, n_halo),
+                        y=rng.uniform(0, L, n_halo),
+                        z=rng.uniform(0, L, n_halo),
+                        M=power_law_masses(n_halo), redshift=0.25,
+                        cosmo=COSMO)
+    model = disp_model_3d()
     n_part = int(os.environ.get("NPART", 5_000_000))
     snap = ParticleSnapshot(x=rng.uniform(0, L, n_part),
                             y=rng.uniform(0, L, n_part),
@@ -93,3 +173,47 @@ else:
         run(BaryonifySnapshot(cat, snap, epsilon_max=15, model=model,
                               method=method, verbose=False),
             f"snap/{method}")
+
+elif which == "paint":
+    # the reference's flagship painting use-case: full-sky NSIDE=1024
+    # Compton-y map (HealpixRunner.py:366-447, examples/05 cell 12)
+    nside = int(os.environ.get("NSIDE", 1024))
+    n_halo = int(os.environ.get("NHALO", 1_000_000))
+    tab = tsz_model(nside)
+    cat = HaloLightConeCatalog(
+        ra=rng.uniform(0, 360, n_halo),
+        dec=np.degrees(np.arcsin(rng.uniform(-1, 1, n_halo))),
+        M=power_law_masses(n_halo), z=rng.uniform(0.1, 0.9, n_halo),
+        cosmo=COSMO)
+    shell = LightconeShell(map=np.zeros(hpx.npix(nside)), cosmo=COSMO)
+    for method in ("cellmajor", "scatter"):
+        run(PaintProfilesShell(cat, shell, epsilon_max=5, model=tab,
+                               method=method, verbose=False),
+            f"paint/{method}")
+
+elif which == "grid2d":
+    # map-level 2D branch (Map2DRunner.py:425-615, Anbajagane+24)
+    L = 1000.0
+    N = int(os.environ.get("NGRID", 2048))
+    n_halo = int(os.environ.get("NHALO", 200_000))
+    cat = HaloNDCatalog(x=rng.uniform(0, L, n_halo),
+                        y=rng.uniform(0, L, n_halo),
+                        M=power_law_masses(n_halo), redshift=0.25,
+                        cosmo=COSMO)
+    bins = (np.arange(N) + 0.5) * (L / N)
+    gm = GriddedMap(map=rng.uniform(0.5, 1.5, (N, N)).astype(np.float64),
+                    redshift=0.25, bins=bins, cosmo=COSMO)
+    model = disp_model_2d()
+    methods = os.environ.get("METHODS", "scatter").split(",")
+    for method in methods:
+        run(BaryonifyGrid(cat, gm, epsilon_max=15, model=model,
+                          method=method, verbose=False),
+            f"grid2d/baryonify/{method}")
+    tab = tsz_model(32)   # flat-sky: pixel window n/a; reuse tSZ table
+    for method in methods:
+        run(PaintProfilesGrid(cat, gm, epsilon_max=5, model=tab,
+                              method=method, verbose=False),
+            f"grid2d/paint/{method}")
+
+else:
+    sys.exit(f"unknown mode {which!r}")

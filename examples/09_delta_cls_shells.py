@@ -9,10 +9,15 @@ one-halo mass onto the sky (the framework's own painting path), so the
 baryonification acts on realistic halo-shaped structure, and the ratio
 shapes are asserted:
 
-  - large scales preserved (|dC/C| < 0.5% at ell = 8),
+  - large scales preserved (|dC/C| < 0.5% at ell = NSIDE/8),
   - suppression at small scales (the ejected gas smooths halo profiles),
   - monotone in theta_ej (larger ejection radius -> deeper suppression),
   - monotone in ell (deeper suppression toward smaller scales).
+
+Runs at the reference's production resolution by default (NSIDE=512,
+lmax=1024 — C_ell via the ring-FFT anafast; ~6 min CPU). NSIDE=64 is
+the quick smoke variant (NSIDE=64 python examples/09_delta_cls_shells.py,
+~3 min).
 
 Exits nonzero on regression. Run: python examples/09_delta_cls_shells.py
 """
@@ -40,10 +45,11 @@ from baryonification_tpu.profiles import (DarkMatter, DarkMatterOnly,
 from baryonification_tpu.ops import healpix as hpx
 from baryonification_tpu.ops.spectra import anafast
 
-NSIDE = 64
+NSIDE = int(os.environ.get("NSIDE", 512))
 LMAX = 2 * NSIDE
 N_HALO = 3_000
-ELLS = (8, 16, 32, 48, 64, 96)
+# assertion multipoles scale with NSIDE (shapes are scale-free in ell/nside)
+ELLS = tuple(int(l * NSIDE / 64) for l in (8, 16, 32, 48, 64, 96))
 SWEEP = (2.0, 4.0, 8.0)
 
 COSMO_DICT = dict(Omega_m=0.3, Omega_b=0.05, h=0.7, sigma8=0.8, n_s=0.96,
@@ -110,20 +116,20 @@ def main():
     print(f"[{time.time() - t0:.0f}s]")
 
     failed = []
-    i96 = ELLS.index(96)
-    i8 = ELLS.index(8)
+    i_hi = 5      # ELLS[5] = 96 * NSIDE/64 (highest probed multipole)
+    i_lo = 0      # ELLS[0] = 8 * NSIDE/64
     # large scales preserved
-    if not all(abs(d[i8]) < 5e-3 for d in res.values()):
+    if not all(abs(d[i_lo]) < 5e-3 for d in res.values()):
         failed.append("low-ell not preserved")
     # suppression present at small scales (theta_ej >= 4)
-    if not (res[4.0][i96] < -2e-3 and res[8.0][i96] < -2e-3):
+    if not (res[4.0][i_hi] < -2e-3 and res[8.0][i_hi] < -2e-3):
         failed.append("no small-scale suppression")
-    # monotone in theta_ej at ell=96 (larger ejection -> deeper)
-    if not (res[8.0][i96] < res[4.0][i96] < res[2.0][i96]):
+    # monotone in theta_ej at the highest ell (larger ejection -> deeper)
+    if not (res[8.0][i_hi] < res[4.0][i_hi] < res[2.0][i_hi]):
         failed.append("theta_ej ordering broken")
     # monotone in ell for theta_ej=8 (deeper toward small scales)
     d8 = res[8.0]
-    if not (d8[i96] < d8[ELLS.index(48)] < d8[ELLS.index(16)] + 1e-4):
+    if not (d8[i_hi] < d8[3] < d8[1] + 1e-4):
         failed.append("ell ordering broken")
 
     if failed:

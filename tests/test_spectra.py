@@ -91,6 +91,49 @@ class TestAnafast:
         assert abs(got / want - 1) < 0.2
 
 
+class TestAnafastRingFFT:
+    """The ring-FFT production anafast vs the per-m direct oracle
+    (independent formulations: batched Bluestein DFTs + scaled
+    full-plane recurrence vs per-m phase matrices + plain per-m
+    recurrence)."""
+
+    @pytest.mark.parametrize("nside,lmax", [(8, 16), (16, 47),
+                                            (32, 95), (64, 150)])
+    def test_matches_direct_oracle(self, nside, lmax):
+        from baryonification_tpu.ops.spectra import anafast_direct
+        rng = np.random.default_rng(nside)
+        m = rng.normal(size=hpx.npix(nside))
+        want = np.asarray(anafast_direct(jnp.asarray(m), nside, lmax))
+        got = np.asarray(anafast(m, nside, lmax))
+        np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-18)
+
+    def test_alias_band(self):
+        """lmax ABOVE the smallest cap ring's Nyquist: the m mod npr
+        alias gather must stay exact (every cap ring aliases)."""
+        from baryonification_tpu.ops.spectra import anafast_direct
+        nside = 16
+        lmax = 3 * nside - 1
+        rng = np.random.default_rng(3)
+        m = rng.normal(size=hpx.npix(nside))
+        want = np.asarray(anafast_direct(jnp.asarray(m), nside, lmax))
+        got = np.asarray(anafast(m, nside, lmax))
+        np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-18)
+
+    def test_scaled_recurrence_engages(self):
+        """At nside=64 / lmax=150 the polar-ring sectoral seeds carry
+        nonzero scale counters (lambda_mm < 1e-40); the parity above
+        proves those lanes still recover past the turning point. Here:
+        seeds themselves place sc0 > 0 lanes."""
+        from baryonification_tpu.ops.spectra import _anafast_seeds
+        _, _, _, _, p_mm, sc0 = _anafast_seeds(64, 150, np.log(1e40))
+        assert sc0.max() >= 2
+        # scaled mantissas stay in (1/F, O(m^1/4)] — equatorial
+        # sectoral lambda_mm grows slowly past 1 at large m
+        live = np.abs(p_mm) > 0
+        assert np.abs(p_mm[live]).max() < 10.0
+        assert np.abs(p_mm[live]).min() > 0.99e-40
+
+
 class TestAnafastBruteForce:
     def test_matches_direct_sht_random_map(self):
         """Independent cross-check of the full anafast path: brute-force
