@@ -299,52 +299,61 @@ def mesh_regrid_shell(mesh, axis, nside, pix_planes, orig_map_nested,
 
 @lru_cache(maxsize=None)
 def _mesh_grid_offsets_fn(mesh, axis, use_rdelta, B, C_blk, n_hi, N,
-                          half, eps_max, k_static, L, res, bins0):
-    """Compiled shard-mapped cell-major GRID displacement pass. Voxel
-    coordinates are computed from global Morton block ids, so each
-    device offsets by its shard's base block (axis_index)."""
-    from .runners.grid_cellmajor import grid_offsets_pass
+                          half, eps_max, k_static, L, res, bins0,
+                          is2D=False):
+    """Compiled shard-mapped cell-major GRID displacement pass (3D
+    voxels or 2D flat-sky pixels). Coordinates are computed from global
+    Morton block ids, so each device offsets by its shard's base block
+    (axis_index)."""
+    from .runners.grid_cellmajor import (grid_offsets_pass,
+                                         grid_offsets_pass_2d)
+    d = 2 if is2D else 3
+    pass_fn = grid_offsets_pass_2d if is2D else grid_offsets_pass
 
-    def step(dense_s, counts_s, ox, oy, oz, packed, gM, table_z, lnr):
+    def step(dense_s, counts_s, *rest):
+        offs = rest[:d]
+        packed, gM, table_z, lnr = rest[d:]
         block0 = jax.lax.axis_index(axis) * counts_s.shape[0]
-        return grid_offsets_pass(
+        return pass_fn(
             use_rdelta, B, C_blk, n_hi, N, half, dense_s.reshape(-1),
             counts_s, packed, gM, table_z, lnr, eps_max, L, res, bins0,
-            ox, oy, oz, k_static=k_static, block0=block0)
+            *offs, k_static=k_static, block0=block0)
 
     sh = P(axis)
     rep = P()
     return jax.jit(jax.shard_map(
         step, mesh=mesh,
-        in_specs=(sh, sh, sh, sh, sh, rep, rep, rep, rep),
-        out_specs=(sh, sh, sh)))
+        in_specs=(sh, sh) + (sh,) * d + (rep,) * 4,
+        out_specs=(sh,) * d))
 
 
 def mesh_grid_offsets_bucket(mesh, axis, use_rdelta, B, C_blk, n_hi, N,
                              half, dense2d, counts, packed, gM, table_z,
                              lnr_grid, eps_max, L, res, bins0, offsets,
                              k_static=None):
-    """One bucket of the block-sharded 3D-grid displacement pass:
-    Morton blocks are disjoint box regions, so each device owns a
-    contiguous block range with NO communication; ``offsets`` carries
-    sharded in the bucket's block-major order."""
+    """One bucket of the block-sharded grid displacement pass: Morton
+    blocks are disjoint box regions, so each device owns a contiguous
+    block range with NO communication; ``offsets`` (2 planes for a 2D
+    map, 3 for a box) carries sharded in the bucket's block-major
+    order."""
     fn = _mesh_grid_offsets_fn(mesh, axis, bool(use_rdelta), int(B),
                                int(C_blk), int(n_hi), int(N), int(half),
                                float(eps_max),
                                None if k_static is None else int(k_static),
-                               float(L), float(res), float(bins0))
-    ox, oy, oz = offsets
-    return fn(dense2d, counts, ox, oy, oz, packed, gM, table_z, lnr_grid)
+                               float(L), float(res), float(bins0),
+                               is2D=(len(offsets) == 2))
+    return fn(dense2d, counts, *offsets, packed, gM, table_z, lnr_grid)
 
 
 @lru_cache(maxsize=None)
 def _mesh_grid_paint_fn(mesh, axis, B, C_blk, n_hi, N, half, eps_max,
-                        k_static, L, res, bins0):
-    from .runners.grid_cellmajor import grid_paint_pass
+                        k_static, L, res, bins0, is2D=False):
+    from .runners.grid_cellmajor import grid_paint_pass, grid_paint_pass_2d
+    pass_fn = grid_paint_pass_2d if is2D else grid_paint_pass
 
     def step(dense_s, counts_s, m_s, packed, gM, table_z, lnr):
         block0 = jax.lax.axis_index(axis) * counts_s.shape[0]
-        return grid_paint_pass(
+        return pass_fn(
             B, C_blk, n_hi, N, half, dense_s.reshape(-1), counts_s,
             packed, gM, table_z, lnr, eps_max, L, res, bins0, m_s,
             k_static=k_static, block0=block0)
@@ -359,54 +368,64 @@ def _mesh_grid_paint_fn(mesh, axis, B, C_blk, n_hi, N, half, eps_max,
 def mesh_grid_paint_bucket(mesh, axis, B, C_blk, n_hi, N, half, dense2d,
                            counts, packed, gM, table_z, lnr_grid,
                            eps_max, L, res, bins0, map_bm,
-                           k_static=None):
-    """One bucket of the block-sharded 3D-grid painting pass (purely
+                           k_static=None, is2D=False):
+    """One bucket of the block-sharded grid painting pass (purely
     local; the block-major map carries sharded)."""
     fn = _mesh_grid_paint_fn(mesh, axis, int(B), int(C_blk), int(n_hi),
                              int(N), int(half), float(eps_max),
                              None if k_static is None else int(k_static),
-                             float(L), float(res), float(bins0))
+                             float(L), float(res), float(bins0),
+                             is2D=bool(is2D))
     return fn(dense2d, counts, map_bm, packed, gM, table_z, lnr_grid)
 
 
 @lru_cache(maxsize=None)
-def _mesh_grid_cic_fn(mesh, axis, N):
-    from .ops.scatter import cic_deposit_3d
+def _mesh_grid_cic_fn(mesh, axis, N, is2D=False):
+    from .ops.scatter import cic_deposit_2d, cic_deposit_3d
 
-    def step(vals_s, ox, oy, oz):
+    def step(vals_s, *offs):
         nloc = vals_s.shape[0]
         i = (jax.lax.axis_index(axis) * nloc
              + jnp.arange(nloc, dtype=jnp.int32))
-        ixy, iz = i // N, i % N
-        ix, iy = ixy // N, ixy % N
         dt = vals_s.dtype
-        partial = cic_deposit_3d(N, ox + ix.astype(dt),
-                                 oy + iy.astype(dt),
-                                 oz + iz.astype(dt), vals_s, dtype=dt)
+        if is2D:
+            ix, iy = i // N, i % N
+            partial = cic_deposit_2d(N, offs[0] + ix.astype(dt),
+                                     offs[1] + iy.astype(dt), vals_s,
+                                     dtype=dt)
+        else:
+            ixy, iz = i // N, i % N
+            ix, iy = ixy // N, ixy % N
+            partial = cic_deposit_3d(N, offs[0] + ix.astype(dt),
+                                     offs[1] + iy.astype(dt),
+                                     offs[2] + iz.astype(dt), vals_s,
+                                     dtype=dt)
         return jax.lax.psum(partial, axis)
 
     sh = P(axis)
+    d = 2 if is2D else 3
     return jax.jit(jax.shard_map(
-        step, mesh=mesh, in_specs=(sh, sh, sh, sh), out_specs=P()))
+        step, mesh=mesh, in_specs=(sh,) + (sh,) * d, out_specs=P()))
 
 
 def mesh_grid_cic(mesh, axis, N, vals_rm, offsets_rm):
-    """Block-sharded conservative CIC redeposit: each device deposits
-    its own ROW-MAJOR voxel range's mass (the 2-cell CIC stencil may
-    cross the shard boundary) into a local full-box partial; one psum
-    joins them — the additive-join contract riding ICI.
+    """Block-sharded conservative CIC redeposit (2D or 3D by the number
+    of offset planes): each device deposits its own ROW-MAJOR pixel
+    range's mass (the 2-cell CIC stencil may cross the shard boundary)
+    into a local full-box partial; one psum joins them — the
+    additive-join contract riding ICI.
 
-    Handles any device count: the voxel axis is zero-padded to a
-    multiple of n_dev (padded voxels carry zero mass, so their wrapped
+    Handles any device count: the pixel axis is zero-padded to a
+    multiple of n_dev (padded pixels carry zero mass, so their wrapped
     CIC deposits contribute nothing)."""
     n_dev = mesh.shape[axis]
     pad = (-vals_rm.shape[0]) % n_dev
     sh = NamedSharding(mesh, P(axis))
     prep = lambda x: jax.device_put(jnp.pad(x, (0, pad)) if pad else x,
                                     sh)
-    fn = _mesh_grid_cic_fn(mesh, axis, int(N))
-    ox, oy, oz = offsets_rm
-    return fn(prep(vals_rm), prep(ox), prep(oy), prep(oz))
+    fn = _mesh_grid_cic_fn(mesh, axis, int(N),
+                           is2D=(len(offsets_rm) == 2))
+    return fn(prep(vals_rm), *(prep(o) for o in offsets_rm))
 
 
 @lru_cache(maxsize=None)

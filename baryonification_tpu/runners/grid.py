@@ -87,21 +87,23 @@ class DefaultRunnerGrid:
             precision = ("float64" if jax.default_backend() == "cpu"
                          else "float32")
         self.dtype = jnp.dtype(precision)
-        # 'cellmajor' (3D, isotropic, no extra param axes): block-major
-        # dense pass, TPU speed-of-light (grid_cellmajor.py);
+        # 'cellmajor' (no extra param axes; 2D incl. ellipticity — the
+        # shear matrix rides in the packed records — or isotropic 3D):
+        # block-major dense pass, TPU speed-of-light (grid_cellmajor.py);
         # 'scatter': per-halo windowed cutouts + scatter-add (exact
-        # reference-loop semantics; the only path for 2D / ellipticity /
+        # reference-loop semantics; the only path for 3D ellipticity /
         # p_keys). auto: cellmajor where eligible on accelerators.
         p_keys = getattr(model, 'p_keys', []) or []
-        eligible = (not GriddedMap.is2D and not use_ellipticity
-                    and not p_keys)
+        eligible = (not p_keys
+                    and (GriddedMap.is2D or not use_ellipticity))
         if method == "auto":
             method = ("cellmajor" if eligible
                       and jax.default_backend() != "cpu" else "scatter")
         if method == "cellmajor" and not eligible:
             raise ValueError(
-                "method='cellmajor' supports 3D grids without "
-                "ellipticity or extra parameter axes; use 'scatter'")
+                "method='cellmajor' supports 2D grids (incl. "
+                "ellipticity) and isotropic 3D grids without extra "
+                "parameter axes; use 'scatter'")
         self.method = method
 
         if use_ellipticity:
@@ -129,8 +131,14 @@ class DefaultRunnerGrid:
             Rmats = np.stack([build_Rmat(Av, qv) for Av, qv in
                               zip(cat['A_ell'], cat['q_ell'])])
             out['Rmat'] = Rmats
+            # max stretch factor circular->elliptical radius: the
+            # eps_max * R cutoff on the ELLIPTICAL radius reaches out to
+            # q^(-1/2) farther in circular distance (registration bound)
+            q = np.asarray(cat['q_ell'], dtype=np.float64)
+            out['qfac'] = np.sqrt(np.maximum(q, 1.0 / np.maximum(q, 1e-8)))
         else:
             out['Rmat'] = np.tile(np.eye(2), (cat.size, 1, 1))
+            out['qfac'] = np.ones(cat.size)
         p_keys = getattr(self.model, 'p_keys', []) or []
         out['props'] = (np.stack([cat[k] for k in p_keys], axis=-1)
                         if p_keys else np.zeros((cat.size, 0)))
@@ -175,15 +183,27 @@ class DefaultRunnerGrid:
         if key not in cache:
             H = len(arrs['x'])
             cols = np.zeros((H, 16))
-            cols[:, 0] = arrs['x']
-            cols[:, 1] = arrs['y']
-            cols[:, 2] = arrs['z']
-            cols[:, 3] = R_com
-            cols[:, 4] = np.log(arrs['M'])
-            cols[:, 5] = np.log(R_com)
-            cols[:, 6] = self._nearest_bins(arrs['x'])
-            cols[:, 7] = self._nearest_bins(arrs['y'])
-            cols[:, 8] = self._nearest_bins(arrs['z'])
+            if self.GriddedMap.is2D:
+                # 2D layout: [x, y, R_com, lnM, lnRc, cen_x, cen_y,
+                #             Rm00, Rm01, Rm10, Rm11, pad...]
+                cols[:, 0] = arrs['x']
+                cols[:, 1] = arrs['y']
+                cols[:, 2] = R_com
+                cols[:, 3] = np.log(arrs['M'])
+                cols[:, 4] = np.log(R_com)
+                cols[:, 5] = self._nearest_bins(arrs['x'])
+                cols[:, 6] = self._nearest_bins(arrs['y'])
+                cols[:, 7:11] = arrs['Rmat'].reshape(H, 4)
+            else:
+                cols[:, 0] = arrs['x']
+                cols[:, 1] = arrs['y']
+                cols[:, 2] = arrs['z']
+                cols[:, 3] = R_com
+                cols[:, 4] = np.log(arrs['M'])
+                cols[:, 5] = np.log(R_com)
+                cols[:, 6] = self._nearest_bins(arrs['x'])
+                cols[:, 7] = self._nearest_bins(arrs['y'])
+                cols[:, 8] = self._nearest_bins(arrs['z'])
             cache[key] = jnp.asarray(cols, dtype=dt)
         return cache[key]
 
@@ -207,6 +227,7 @@ class DefaultRunnerGrid:
             from . import grid_cellmajor as gcm
             from . import shell_cellmajor as cm
             gm = self.GriddedMap
+            dim = 2 if gm.is2D else 3
             N = gm.Npix
             nb = N // B
             L = float(N * gm.res)
@@ -223,29 +244,40 @@ class DefaultRunnerGrid:
             x0 = np.asarray(gm.bins)[0] - gm.res / 2
             xs = np.mod(arrs['x'][sel] - x0, L)
             ys = np.mod(arrs['y'][sel] - x0, L)
-            zs = np.mod(arrs['z'][sel] - x0, L)
-            hids, cell_start, K = gcm.register_halos_grid(
-                nb, W, dt.type(L),
-                jnp.asarray(pad(xs, 0.0), dtype=dt),
-                jnp.asarray(pad(ys, 0.0), dtype=dt),
-                jnp.asarray(pad(zs, 0.0), dtype=dt),
-                jnp.asarray(pad(rr, -1.0), dtype=dt))
+            if gm.is2D:
+                hids, cell_start, K = gcm.register_halos_grid_2d(
+                    nb, W, dt.type(L),
+                    jnp.asarray(pad(xs, 0.0), dtype=dt),
+                    jnp.asarray(pad(ys, 0.0), dtype=dt),
+                    jnp.asarray(pad(rr, -1.0), dtype=dt))
+            else:
+                zs = np.mod(arrs['z'][sel] - x0, L)
+                hids, cell_start, K = gcm.register_halos_grid(
+                    nb, W, dt.type(L),
+                    jnp.asarray(pad(xs, 0.0), dtype=dt),
+                    jnp.asarray(pad(ys, 0.0), dtype=dt),
+                    jnp.asarray(pad(zs, 0.0), dtype=dt),
+                    jnp.asarray(pad(rr, -1.0), dtype=dt))
             K = int(K)
             K_pad = max(64, -(-K // 64) * 64)
             dense, counts = cm.dense_cell_candidates(
-                nb ** 3, K_pad, hids, cell_start)
+                nb ** dim, K_pad, hids, cell_start)
             # refinement: shifted positions + per-halo reach ride in a
-            # local record bank
+            # local record bank (cols 0..dim-1 positions, col 3 reach)
             hrec = np.zeros((H, 16))
-            hrec[:, 0], hrec[:, 1], hrec[:, 2] = xs, ys, zs
+            hrec[:, 0], hrec[:, 1] = xs, ys
+            if not gm.is2D:
+                hrec[:, 2] = zs
             hrec[:, 3] = rr
             hrec_d = jnp.asarray(hrec, dtype=dt)
+            refine = (gcm.refine_block_candidates_2d if gm.is2D
+                      else gcm.refine_block_candidates)
             B_eff = B
             k_min = getattr(self, 'refine_k_min', 48)
             while K >= k_min and B_eff % 2 == 0 and B_eff // 2 >= 4:
                 B_eff //= 2
                 nb2 = N // B_eff
-                dense2d, counts, K_dev = gcm.refine_block_candidates(
+                dense2d, counts, K_dev = refine(
                     nb2, dense, counts, hrec_d,
                     dt.type(L / nb2), dt.type(L))
                 K = int(K_dev)
@@ -332,19 +364,21 @@ class DefaultRunnerGrid:
             offsets_d[2] + jnp.asarray(iz, dtype=dt), vals, dtype=dt)
 
     def _grid_inv_perm(self, N, B):
-        """Row-major voxel id -> block-major position (for unsorting the
-        pass outputs), cached per (N, B)."""
+        """Row-major voxel/pixel id -> block-major position (for
+        unsorting the pass outputs), cached per (N, B)."""
         cache = getattr(self, '_gperm_cache', None)
         if cache is None:
             cache = {}
             self._gperm_cache = cache
-        if (N, B) not in cache:
+        dim = 2 if self.GriddedMap.is2D else 3
+        if (N, B, dim) not in cache:
             from . import grid_cellmajor as gcm
-            perm = gcm.block_perm(N, B)    # block-major pos -> row-major
-            inv = jnp.zeros((N ** 3,), dtype=jnp.int32).at[perm].set(
-                jnp.arange(N ** 3, dtype=jnp.int32))
-            cache[(N, B)] = inv
-        return cache[(N, B)]
+            perm = (gcm.block_perm_2d(N, B) if dim == 2
+                    else gcm.block_perm(N, B))
+            inv = jnp.zeros((N ** dim,), dtype=jnp.int32).at[perm].set(
+                jnp.arange(N ** dim, dtype=jnp.int32))
+            cache[(N, B, dim)] = inv
+        return cache[(N, B, dim)]
 
 
 def _cutout_coords(x_h, bins, half, res, Npix):
@@ -571,9 +605,10 @@ class BaryonifyGrid(DefaultRunnerGrid):
 
     def _process_cellmajor(self, gm, a, arrs, R_com, Nsize, idx_all,
                            use_rdelta, orig_map, table=None, device=False):
-        """Block-major dense pass (3D): see grid_cellmajor.py. Same
-        per-bucket cutout semantics as the windowed path (the kernels
-        carry the [cen - half, cen + half) window test).
+        """Block-major dense pass (3D voxels or 2D flat-sky pixels):
+        see grid_cellmajor.py. Same per-bucket cutout semantics as the
+        windowed path (the kernels carry the [cen - half, cen + half)
+        window test; 2D carries the shear matrix per halo).
 
         ``table`` overrides ``model._table`` and may be TRACED when
         ``device=True`` (static k_static trip counts, no host round-trip
@@ -583,6 +618,7 @@ class BaryonifyGrid(DefaultRunnerGrid):
         from . import grid_cellmajor as gcm
         model = self.model
         dt = self.dtype
+        dim = 2 if gm.is2D else 3
         N = gm.Npix
         L = float(N * gm.res)
         res = gm.res
@@ -607,14 +643,14 @@ class BaryonifyGrid(DefaultRunnerGrid):
                 sh = NamedSharding(self.mesh,
                                    PartitionSpec(self.mesh_axis))
                 put = lambda x: jax.device_put(x, sh)
-                # row-major (N^3) voxel arrays shard only when divisible;
-                # otherwise they stay replicated (the block axis is the
-                # one padded to any device count)
-                put_rm = put if (N ** 3) % n_dev == 0 else (lambda x: x)
+                # row-major (N^dim) voxel/pixel arrays shard only when
+                # divisible; otherwise they stay replicated (the block
+                # axis is the one padded to any device count)
+                put_rm = put if (N ** dim) % n_dev == 0 else (lambda x: x)
             else:
                 put = put_rm = lambda x: x
-            offsets = tuple(put_rm(jnp.zeros((N ** 3,), dtype=dt))
-                            for _ in range(3))
+            offsets = tuple(put_rm(jnp.zeros((N ** dim,), dtype=dt))
+                            for _ in range(dim))
             g2_np = np.asarray(model._grids[2])
             if bool(inb_z):
                 for bi, idx in enumerate(
@@ -625,10 +661,11 @@ class BaryonifyGrid(DefaultRunnerGrid):
                     reach = (half + 1) * res
                     dense, counts, K, B_eff = self._grid_dense(
                         bi, B, sel, arrs, reach,
-                        self.epsilon_max * R_com[sel], dt)
+                        self.epsilon_max * R_com[sel]
+                        * arrs['qfac'][sel], dt)
                     nb = N // B_eff
-                    F = B_eff ** 3
-                    ncell = nb ** 3
+                    F = B_eff ** dim
+                    ncell = nb ** dim
                     if self.mesh is not None:
                         # pad the block axis to any device count (zero
                         # counts -> padded blocks are no-op work)
@@ -660,15 +697,17 @@ class BaryonifyGrid(DefaultRunnerGrid):
                             put(pad_rows(counts, ncell_pad)),
                             packed[sel_dev], gM, table_z, g2,
                             float(self.epsilon_max), L, res, bins0,
-                            (zb, zb, zb))
+                            (zb,) * dim)
                     else:
-                        planes = gcm.grid_offsets_pass(
+                        pass_fn = (gcm.grid_offsets_pass_2d if gm.is2D
+                                   else gcm.grid_offsets_pass)
+                        planes = pass_fn(
                             use_rdelta, B_eff, C_blk, n_hi, N, half,
                             dense, counts, packed[sel_dev], gM, table_z,
                             g2, float(self.epsilon_max), dt.type(L),
                             dt.type(res), dt.type(bins0),
-                            *(jnp.zeros((N ** 3,), dtype=dt)
-                              for _ in range(3)),
+                            *(jnp.zeros((N ** dim,), dtype=dt)
+                              for _ in range(dim)),
                             k_static=(max(int(K), 1) if device else None))
                     inv = put_rm(self._grid_inv_perm(N, B_eff))
                     offsets = tuple(_permute_add(o, p, inv)
@@ -842,14 +881,16 @@ class PaintProfilesGrid(DefaultRunnerGrid):
 
     def _paint_cellmajor(self, gm, a, arrs, R_com, Nsize, table,
                          device=False):
-        """Block-major dense painting (3D; see grid_cellmajor.py).
-        ``device=True``: traced-table differentiable core (static
-        k_static trip counts, device-array return)."""
+        """Block-major dense painting (3D voxels or 2D flat-sky pixels;
+        see grid_cellmajor.py). ``device=True``: traced-table
+        differentiable core (static k_static trip counts, device-array
+        return)."""
         from contextlib import nullcontext
         from ..utils import x64_disabled
         from . import grid_cellmajor as gcm
         model = self.model
         dt = self.dtype
+        dim = 2 if gm.is2D else 3
         N = gm.Npix
         L = float(N * gm.res)
         res = gm.res
@@ -875,10 +916,10 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                 sh = NamedSharding(self.mesh,
                                    PartitionSpec(self.mesh_axis))
                 put = lambda x: jax.device_put(x, sh)
-                put_rm = put if (N ** 3) % n_dev == 0 else (lambda x: x)
+                put_rm = put if (N ** dim) % n_dev == 0 else (lambda x: x)
             else:
                 put = put_rm = lambda x: x
-            new_map = put_rm(jnp.zeros((N ** 3,), dtype=dt))
+            new_map = put_rm(jnp.zeros((N ** dim,), dtype=dt))
             g2_np = np.asarray(model._grids[2])
             idx_all = np.arange(len(R_com))
             if bool(inb_z):
@@ -890,10 +931,11 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                     reach = (half + 1) * res
                     dense, counts, K, B_eff = self._grid_dense(
                         bi, B, sel, arrs, reach,
-                        self.epsilon_max * R_com[sel], dt)
+                        self.epsilon_max * R_com[sel]
+                        * arrs['qfac'][sel], dt)
                     nb = N // B_eff
-                    F = B_eff ** 3
-                    ncell = nb ** 3
+                    F = B_eff ** dim
+                    ncell = nb ** dim
                     if self.mesh is not None:
                         ncell_pad, C_blk = pad_cells_for_mesh(
                             ncell, n_dev, F)
@@ -920,21 +962,25 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                             put(pad_rows(counts, ncell_pad)),
                             packed[sel_dev], gM, table_z,
                             g2, float(self.epsilon_max), L, res, bins0,
-                            put(jnp.zeros((ncell_pad * F,), dtype=dt)))
+                            put(jnp.zeros((ncell_pad * F,), dtype=dt)),
+                            is2D=gm.is2D)
                     else:
-                        out_bm = gcm.grid_paint_pass(
+                        paint_fn = (gcm.grid_paint_pass_2d if gm.is2D
+                                    else gcm.grid_paint_pass)
+                        out_bm = paint_fn(
                             B_eff, C_blk, n_hi, N, half, dense, counts,
                             packed[sel_dev], gM, table_z, g2,
                             float(self.epsilon_max), dt.type(L),
                             dt.type(res), dt.type(bins0),
-                            jnp.zeros((N ** 3,), dtype=dt),
+                            jnp.zeros((N ** dim,), dtype=dt),
                             k_static=(max(int(K), 1) if device else None))
                     inv = put_rm(self._grid_inv_perm(N, B_eff))
                     new_map = _permute_add(new_map, out_bm, inv)
+            shape = (N, N) if gm.is2D else (N, N, N)
             if device:
-                return new_map.reshape(N, N, N)
+                return new_map.reshape(shape)
             new_map = np.asarray(new_map)
-        return new_map.reshape(N, N, N)
+        return new_map.reshape(shape)
 
 
 class PaintProfilesAnisGrid(DefaultRunnerGrid):

@@ -32,7 +32,10 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["block_perm", "register_halos_grid", "blend_table_z",
-           "grid_offsets_pass", "grid_paint_pass", "pick_block_size"]
+           "grid_offsets_pass", "grid_paint_pass", "pick_block_size",
+           "block_perm_2d", "register_halos_grid_2d",
+           "refine_block_candidates_2d", "grid_offsets_pass_2d",
+           "grid_paint_pass_2d", "morton2", "demorton2"]
 
 
 def _spread3(v):
@@ -438,6 +441,313 @@ def grid_paint_pass(B, C_blk, n_hi, N, half,
             win = (_window_ok(ix, cenx, half, N)
                    & _window_ok(iy, ceny, half, N)
                    & _window_ok(iz, cenz, half, N))
+            live = ok & inb_M
+            paint = jnp.where(win & live[:, None]
+                              & jnp.isfinite(paint), paint, 0.0)
+            return acc + paint
+
+        z = xv * jnp.zeros((), dtype=dt)
+        upper = k_max[c0] if k_static is None else k_static
+        out = jax.lax.fori_loop(0, upper, k_body, z)
+        return out.reshape(-1)
+
+    out = jax.lax.map(one_chunk, jnp.arange(n_chunks))
+    return new_map + out.reshape(new_map.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# 2D (flat-sky map) variants: the map-level method of Anbajagane+24
+# (reference `Map2DRunner.py:425-615` 2D branch). Same design as the 3D
+# kernels — Morton blocks, registration + refinement, dense per-bucket
+# passes — with the galsim-style shear matrix riding IN the packed halo
+# records: the displacement/paint magnitude reads at the ELLIPTICAL
+# radius while displacement pushes along the CIRCULAR unit vector
+# (`Map2DRunner.py:518-536`), and an identity matrix makes the isotropic
+# case the same code path (4 extra FMAs per element).
+# ---------------------------------------------------------------------------
+
+
+def _spread2(v):
+    """Spread the low 16 bits of v to every other bit (2D Morton)."""
+    v = (v | (v << 8)) & jnp.int32(0x00FF00FF)
+    v = (v | (v << 4)) & jnp.int32(0x0F0F0F0F)
+    v = (v | (v << 2)) & jnp.int32(0x33333333)
+    v = (v | (v << 1)) & jnp.int32(0x55555555)
+    return v
+
+
+def _compact2(v):
+    """Inverse of _spread2."""
+    v = v & jnp.int32(0x55555555)
+    v = (v | (v >> 1)) & jnp.int32(0x33333333)
+    v = (v | (v >> 2)) & jnp.int32(0x0F0F0F0F)
+    v = (v | (v >> 4)) & jnp.int32(0x00FF00FF)
+    v = (v | (v >> 8)) & jnp.int32(0x0000FFFF)
+    return v
+
+
+def morton2(x, y):
+    """Z-order id of 2D integer coords (< 65536 each); children of block
+    b at the next finer level are ids 4b..4b+3."""
+    return _spread2(x) | (_spread2(y) << 1)
+
+
+def demorton2(c):
+    """Morton id -> (x, y)."""
+    return _compact2(c), _compact2(c >> 1)
+
+
+@partial(jax.jit, static_argnames=("N", "B"))
+def block_perm_2d(N, B):
+    """(N^2,) int32: row-major pixel id of each block-major position
+    (b = MORTON id of block coords, f = ox*B + oy; pixel id x*N + y)."""
+    F = B * B
+    i = jnp.arange(N * N, dtype=jnp.int32)
+    b, f = i // F, i % F
+    bx, by = demorton2(b)
+    ox, oy = f // B, f % B
+    return (bx * B + ox) * N + (by * B + oy)
+
+
+@partial(jax.jit, static_argnames=("nb", "W"))
+def register_halos_grid_2d(nb, W, L, xh, yh, reach):
+    """2D analog of register_halos_grid: halos register into every
+    B^2-pixel block within per-axis min-image reach + half block edge.
+    reach < 0 marks shape padding. Returns (hids_sorted, cell_start, K).
+    """
+    H = xh.shape[0]
+    hb = L / nb
+    nc = nb * nb
+    w = jnp.arange(W, dtype=jnp.int32) - (W - 1) // 2
+
+    def one(x0, y0, rr):
+        c0x = jnp.floor(x0 / hb).astype(jnp.int32)
+        c0y = jnp.floor(y0 / hb).astype(jnp.int32)
+        bx = jnp.mod(c0x + w, nb)
+        by = jnp.mod(c0y + w, nb)
+
+        def ax_ok(b, x0_):
+            ctr = (b.astype(x0_.dtype) + 0.5) * hb
+            d = ctr - x0_
+            d = d - L * jnp.round(d / L)
+            return jnp.abs(d) <= rr + 0.5 * hb
+
+        okx = ax_ok(bx, x0)
+        oky = ax_ok(by, y0)
+        cells = morton2(bx[:, None], by[None, :])
+        ok = okx[:, None] & oky[None, :] & (rr >= 0)
+        return cells.reshape(-1), ok.reshape(-1)
+
+    cells, valid = jax.vmap(one)(xh, yh, reach)
+    cells = jnp.where(valid, cells, nc).reshape(-1).astype(jnp.int32)
+    hids = jnp.broadcast_to(jnp.arange(H, dtype=jnp.int32)[:, None],
+                            valid.shape).reshape(-1)
+    cells_s, hids_s = jax.lax.sort((cells, hids), num_keys=1)
+    cell_start = jnp.searchsorted(cells_s,
+                                  jnp.arange(nc + 1, dtype=jnp.int32)
+                                  ).astype(jnp.int32)
+    counts = cell_start[1:] - cell_start[:-1]
+    return hids_s, cell_start, jnp.max(counts)
+
+
+@partial(jax.jit, static_argnames=("nb_child",))
+def refine_block_candidates_2d(nb_child, dense_parent, counts_parent,
+                               hrec, hb_child, L):
+    """2D analog of refine_block_candidates (children of parent b are
+    Morton ids 4b..4b+3). hrec cols 0,1 = positions, col 3 = per-halo
+    per-axis reach (matching the 3D layout so runners share staging)."""
+    nbp = nb_child // 2
+    K_pad = dense_parent.shape[0] // (nbp ** 2)
+    nc = nb_child ** 2
+    dt = hrec.dtype
+    k = jnp.arange(K_pad, dtype=jnp.int32)[None, :]
+    dense_p2d = dense_parent.reshape(nbp ** 2, K_pad)
+
+    n_chunks = 1
+    while (nc // n_chunks) * K_pad > (1 << 22) \
+            and (nc // n_chunks) % 8 == 0:
+        n_chunks *= 2
+    Cc = nc // n_chunks
+
+    def one_chunk(ci):
+        c0 = ci * Cc
+        c = c0 + jnp.arange(Cc, dtype=jnp.int32)
+        cx, cy = demorton2(c)
+        par = jax.lax.dynamic_slice_in_dim(dense_p2d, c0 // 4, Cc // 4)
+        hid = jnp.repeat(par, 4, axis=0)
+        cnt = jnp.repeat(jax.lax.dynamic_slice_in_dim(
+            counts_parent, c0 // 4, Cc // 4), 4)
+        rec = hrec[hid.reshape(-1)]
+        lim = rec[:, 3].reshape(Cc, K_pad) + 0.5 * hb_child
+
+        def ax_ok(ci_, col):
+            ctr = (ci_.astype(dt) + 0.5) * hb_child
+            d = ctr[:, None] - rec[:, col].reshape(Cc, K_pad)
+            d = d - L * jnp.round(d / L)
+            return jnp.abs(d) <= lim
+
+        ok = (k < cnt[:, None]) & ax_ok(cx, 0) & ax_ok(cy, 1)
+        keys = jnp.where(ok, k, K_pad + k)
+        _, hid_s = jax.lax.sort((keys, hid), num_keys=1)
+        return hid_s, jnp.sum(ok, axis=1).astype(jnp.int32)
+
+    hid_s, counts_child = jax.lax.map(one_chunk, jnp.arange(n_chunks))
+    return (hid_s.reshape(nc, K_pad), counts_child.reshape(nc),
+            jnp.max(counts_child))
+
+
+def _pixel_planes_2d(c0, C_blk, B, bins0, res, dt, block0=0):
+    """(C, F) pixel-center coordinates for one chunk of Morton blocks."""
+    F = B * B
+    b = block0 + c0 * C_blk + jnp.arange(C_blk, dtype=jnp.int32)
+    bx, by = demorton2(b)
+    f = jnp.arange(F, dtype=jnp.int32)
+    ox, oy = f // B, f % B
+    ix = bx[:, None] * B + ox[None, :]
+    iy = by[:, None] * B + oy[None, :]
+    xv = bins0 + ix.astype(dt) * res
+    yv = bins0 + iy.astype(dt) * res
+    return (ix, iy), (xv, yv)
+
+
+@partial(jax.jit, static_argnames=("use_rdelta", "B", "C_blk", "n_hi",
+                                   "N", "half", "k_static"))
+def grid_offsets_pass_2d(use_rdelta, B, C_blk, n_hi, N, half,
+                         hid_dense, counts, packed, gM, table_z, lnr_grid,
+                         eps_max, L, res, bins0, ox_o, oy_o,
+                         k_static=None, block0=0):
+    """One bucket's 2D displacement pass in block-major order.
+
+    packed : (H, 16) [x, y, R_com, lnM, lnRc, cen_x, cen_y,
+             Rm00, Rm01, Rm10, Rm11, pad...] — the shear matrix maps
+             pixel offsets to the elliptical-radius frame (identity for
+             isotropic halos); displacement reads at the elliptical
+             radius and pushes along the circular unit vector.
+    Output: block-major (ox, oy) offset planes in PIXEL units.
+    """
+    F = B * B
+    ncell = counts.shape[0]
+    K_pad = hid_dense.shape[0] // ncell
+    n_chunks = ncell // C_blk
+    dt = ox_o.dtype
+    g0 = lnr_grid[0]
+    dg = lnr_grid[1] - lnr_grid[0]
+    k_max = jnp.max(counts.reshape(n_chunks, C_blk), axis=1)
+
+    def one_chunk(c0):
+        (ix, iy), (xv, yv) = _pixel_planes_2d(c0, C_blk, B, bins0, res,
+                                              dt, block0=block0)
+        cnt = jax.lax.dynamic_slice_in_dim(counts, c0 * C_blk, C_blk)
+        hid_blk = jax.lax.dynamic_slice_in_dim(
+            hid_dense, c0 * C_blk * K_pad,
+            C_blk * K_pad).reshape(C_blk, K_pad)
+
+        def k_body(k, acc):
+            ax, ay = acc
+            ok = (k < cnt)
+            hid = hid_blk[:, k]
+            rec = packed[hid]
+            hx = rec[:, 0][:, None]
+            hy = rec[:, 1][:, None]
+            hR = rec[:, 2][:, None]
+            hlnR = rec[:, 4][:, None]
+            cenx = rec[:, 5][:, None].astype(jnp.int32)
+            ceny = rec[:, 6][:, None].astype(jnp.int32)
+            Rm00 = rec[:, 7][:, None]
+            Rm01 = rec[:, 8][:, None]
+            Rm10 = rec[:, 9][:, None]
+            Rm11 = rec[:, 10][:, None]
+
+            A_T, inb_M = _blend_rows_M(rec[:, 3], gM, table_z)
+
+            dx = xv - hx
+            dx = dx - L * jnp.round(dx / L)
+            dy = yv - hy
+            dy = dy - L * jnp.round(dy / L)
+            ex = Rm00 * dx + Rm10 * dy
+            ey = Rm01 * dx + Rm11 * dy
+            r_ell = jnp.sqrt(ex * ex + ey * ey)
+            r_c = jnp.sqrt(dx * dx + dy * dy)
+            lnr = jnp.log(jnp.maximum(r_ell, 1e-30))
+            rad = lnr - hlnR if use_rdelta else lnr
+            t = (rad - g0) / dg
+            d = _segment_readout(A_T, t, n_hi)
+            d = jnp.where((rad >= g0) & (rad <= lnr_grid[n_hi - 1]),
+                          d, 0.0)
+            d = jnp.where(r_ell < eps_max * hR, d, 0.0)
+            win = (_window_ok(ix, cenx, half, N)
+                   & _window_ok(iy, ceny, half, N))
+            live = ok & inb_M
+            d = jnp.where(win & live[:, None] & jnp.isfinite(d), d, 0.0)
+            scale = (d / res) / jnp.maximum(r_c, 1e-30)
+            return (ax + scale * dx, ay + scale * dy)
+
+        z = xv * jnp.zeros((), dtype=dt)
+        upper = k_max[c0] if k_static is None else k_static
+        bx_, by_ = jax.lax.fori_loop(0, upper, k_body, (z, z))
+        return bx_.reshape(-1), by_.reshape(-1)
+
+    bx_, by_ = jax.lax.map(one_chunk, jnp.arange(n_chunks))
+    npix = ox_o.shape[0]
+    return (ox_o + bx_.reshape(npix), oy_o + by_.reshape(npix))
+
+
+@partial(jax.jit, static_argnames=("B", "C_blk", "n_hi", "N", "half",
+                                   "k_static"))
+def grid_paint_pass_2d(B, C_blk, n_hi, N, half,
+                       hid_dense, counts, packed, gM, table_z, lnr_grid,
+                       eps_max, L, res, bins0, new_map, k_static=None,
+                       block0=0):
+    """2D cell-major painting pass (projected log-profile table; the
+    readout radius is the elliptical one)."""
+    F = B * B
+    ncell = counts.shape[0]
+    K_pad = hid_dense.shape[0] // ncell
+    n_chunks = ncell // C_blk
+    dt = new_map.dtype
+    g0 = lnr_grid[0]
+    dg = lnr_grid[1] - lnr_grid[0]
+    k_max = jnp.max(counts.reshape(n_chunks, C_blk), axis=1)
+
+    def one_chunk(c0):
+        (ix, iy), (xv, yv) = _pixel_planes_2d(c0, C_blk, B, bins0, res,
+                                              dt, block0=block0)
+        cnt = jax.lax.dynamic_slice_in_dim(counts, c0 * C_blk, C_blk)
+        hid_blk = jax.lax.dynamic_slice_in_dim(
+            hid_dense, c0 * C_blk * K_pad,
+            C_blk * K_pad).reshape(C_blk, K_pad)
+
+        def k_body(k, acc):
+            ok = (k < cnt)
+            hid = hid_blk[:, k]
+            rec = packed[hid]
+            hx = rec[:, 0][:, None]
+            hy = rec[:, 1][:, None]
+            hR = rec[:, 2][:, None]
+            cenx = rec[:, 5][:, None].astype(jnp.int32)
+            ceny = rec[:, 6][:, None].astype(jnp.int32)
+            Rm00 = rec[:, 7][:, None]
+            Rm01 = rec[:, 8][:, None]
+            Rm10 = rec[:, 9][:, None]
+            Rm11 = rec[:, 10][:, None]
+
+            A_T, inb_M = _blend_rows_M(rec[:, 3], gM, table_z)
+
+            dx = xv - hx
+            dx = dx - L * jnp.round(dx / L)
+            dy = yv - hy
+            dy = dy - L * jnp.round(dy / L)
+            ex = Rm00 * dx + Rm10 * dy
+            ey = Rm01 * dx + Rm11 * dy
+            r_ell = jnp.maximum(jnp.sqrt(ex * ex + ey * ey), 1e-30)
+            lnr = jnp.log(r_ell)
+            t = (lnr - g0) / dg
+            paint = jnp.exp(_hat_readout(A_T, t, n_hi))
+            paint = jnp.where((lnr >= g0) & (lnr <= lnr_grid[n_hi - 1]),
+                              paint, 0.0)
+            paint = jnp.where(r_ell < eps_max * hR, paint, 0.0)
+            win = (_window_ok(ix, cenx, half, N)
+                   & _window_ok(iy, ceny, half, N))
             live = ok & inb_M
             paint = jnp.where(win & live[:, None]
                               & jnp.isfinite(paint), paint, 0.0)

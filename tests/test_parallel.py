@@ -409,6 +409,62 @@ class TestRunnerMesh:
         np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
         assert want.sum() > 0
 
+    def test_baryonify_grid2d_mesh_matches(self, mesh):
+        """2D flat-sky BaryonifyGrid with mesh= (Morton-2D block
+        shards), WITH ellipticity: must match single-device cell-major
+        execution exactly."""
+        from baryonification_tpu import (HaloNDCatalog, GriddedMap,
+                                         BaryonifyGrid)
+        rng = np.random.default_rng(41)
+        N, L = 64, 90.0
+        bins = (np.arange(N) + 0.5) * (L / N)
+        n = 14
+        cat = HaloNDCatalog(x=rng.uniform(0, L, n),
+                            y=rng.uniform(0, L, n),
+                            M=10 ** rng.uniform(13.8, 14.7, n),
+                            q_ell=rng.uniform(0.4, 0.9, n),
+                            A_ell=rng.normal(size=(n, 2)),
+                            redshift=0.25, cosmo=COSMO_DICT)
+        gm = GriddedMap(map=rng.uniform(0.5, 1.5, (N, N)),
+                        redshift=0.25, bins=bins, cosmo=COSMO_DICT)
+        model = _StubDisp()
+        want = BaryonifyGrid(cat, gm, epsilon_max=10, model=model,
+                             use_ellipticity=True, method="cellmajor",
+                             verbose=False).process()
+        got = BaryonifyGrid(cat, gm, epsilon_max=10, model=model,
+                            use_ellipticity=True, mesh=mesh,
+                            verbose=False).process()
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+        assert np.isclose(got.sum(), gm.map.sum())
+
+    def test_paint_grid2d_mesh_matches(self, mesh, cosmo):
+        from baryonification_tpu import (HaloNDCatalog, GriddedMap,
+                                         PaintProfilesGrid)
+        from baryonification_tpu.tabulate import TabulatedProfile
+        from baryonification_tpu.profiles import Gas
+        from test_profiles import PAR
+        rng = np.random.default_rng(43)
+        N, L = 64, 90.0
+        bins = (np.arange(N) + 0.5) * (L / N)
+        n = 10
+        cat = HaloNDCatalog(x=rng.uniform(0, L, n),
+                            y=rng.uniform(0, L, n),
+                            M=10 ** rng.uniform(13.8, 14.6, n),
+                            redshift=0.25, cosmo=COSMO_DICT)
+        gm = GriddedMap(map=rng.uniform(0.5, 1.5, (N, N)),
+                        redshift=0.25, bins=bins, cosmo=COSMO_DICT)
+        gas = TabulatedProfile(Gas(**PAR), cosmo)
+        gas.setup_interpolator(z_min=0.05, z_max=0.6, N_samples_z=4,
+                               M_min=1e13, M_max=1e15, N_samples_Mass=6,
+                               R_min=1e-3, R_max=70, N_samples_R=48)
+        want = PaintProfilesGrid(cat, gm, epsilon_max=5, model=gas,
+                                 method="cellmajor",
+                                 verbose=False).process()
+        got = PaintProfilesGrid(cat, gm, epsilon_max=5, model=gas,
+                                mesh=mesh, verbose=False).process()
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+        assert want.sum() > 0
+
     def test_mesh_rejects_non_cellmajor(self, mesh):
         from baryonification_tpu import BaryonifyShell
 

@@ -525,11 +525,91 @@ class TestGridCellMajor:
         np.testing.assert_allclose(m_cm, m_sc, atol=1e-8 * scale,
                                    rtol=1e-8)
 
-    def test_cellmajor_rejects_2d(self, grid_setup_2d, displ2d):
-        cat, gm = grid_setup_2d
-        with pytest.raises(ValueError):
-            BaryonifyGrid(cat, gm, epsilon_max=20, model=displ2d,
-                          method="cellmajor")
+    @pytest.fixture(scope="class")
+    def grid2d(self):
+        rng = np.random.default_rng(34)
+        N, L = 64, 90.0
+        bins = (np.arange(N) + 0.5) * (L / N)
+        n = 16
+        kw = dict(x=rng.uniform(0, L, n), y=rng.uniform(0, L, n),
+                  M=10 ** rng.uniform(13.6, 14.8, n),
+                  redshift=0.25, cosmo=COSMO_DICT)
+        cat = HaloNDCatalog(**kw)
+        cat_ell = HaloNDCatalog(q_ell=rng.uniform(0.4, 0.9, n),
+                                A_ell=rng.normal(size=(n, 2)), **kw)
+        gm = GriddedMap(map=rng.uniform(0.5, 1.5, (N, N)),
+                        redshift=0.25, bins=bins, cosmo=COSMO_DICT)
+        return cat, cat_ell, gm
+
+    @pytest.mark.parametrize("ell", [False, True])
+    def test_baryonify_2d_cellmajor_matches_scatter(self, grid2d,
+                                                    displ2d, ell):
+        cat, cat_ell, gm = grid2d
+        c = cat_ell if ell else cat
+        m_sc = BaryonifyGrid(c, gm, epsilon_max=15, model=displ2d,
+                             use_ellipticity=ell, method="scatter",
+                             verbose=False).process()
+        m_cm = BaryonifyGrid(c, gm, epsilon_max=15, model=displ2d,
+                             use_ellipticity=ell, method="cellmajor",
+                             verbose=False).process()
+        assert np.isclose(m_cm.sum(), gm.map.sum(), rtol=1e-8)
+        scale = np.abs(m_sc - gm.map).max()
+        assert scale > 0
+        np.testing.assert_allclose(m_cm, m_sc, atol=1e-8 * scale,
+                                   rtol=1e-8)
+
+    @pytest.mark.parametrize("ell", [False, True])
+    def test_paint_2d_cellmajor_matches_scatter(self, grid2d, cosmo,
+                                                ell):
+        cat, cat_ell, gm = grid2d
+        c = cat_ell if ell else cat
+        gas = TabulatedProfile(Gas(**PAR), cosmo)
+        gas.setup_interpolator(z_min=0.05, z_max=0.6, N_samples_z=4,
+                               M_min=1e13, M_max=1e15, N_samples_Mass=6,
+                               R_min=1e-3, R_max=70, N_samples_R=48)
+        p_sc = PaintProfilesGrid(c, gm, epsilon_max=5, model=gas,
+                                 use_ellipticity=ell, method="scatter",
+                                 verbose=False).process()
+        p_cm = PaintProfilesGrid(c, gm, epsilon_max=5, model=gas,
+                                 use_ellipticity=ell, method="cellmajor",
+                                 verbose=False).process()
+        assert p_sc.sum() > 0
+        np.testing.assert_allclose(p_cm, p_sc, rtol=1e-8,
+                                   atol=1e-10 * p_sc.max())
+
+    def test_baryonify_2d_refined_agrees(self, grid2d, displ2d):
+        """2D block refinement (4-child Morton rows) must leave the map
+        unchanged vs the scatter path."""
+        cat, cat_ell, gm = grid2d
+        m_sc = BaryonifyGrid(cat_ell, gm, epsilon_max=15, model=displ2d,
+                             use_ellipticity=True, method="scatter",
+                             verbose=False).process()
+        r_cm = BaryonifyGrid(cat_ell, gm, epsilon_max=15, model=displ2d,
+                             use_ellipticity=True, method="cellmajor",
+                             verbose=False)
+        r_cm.refine_k_min = 1
+        m_cm = r_cm.process()
+        assert any(v[3] < k[1] for k, v in r_cm._gdense_cache.items()), \
+            "refinement did not trigger"
+        scale = np.abs(m_sc - gm.map).max()
+        assert scale > 0
+        np.testing.assert_allclose(m_cm, m_sc, atol=1e-8 * scale,
+                                   rtol=1e-8)
+
+    def test_cellmajor_rejects_3d_ellipticity(self, displ3d):
+        """3D ellipticity raises (reference parity, Map2DRunner.py:333)
+        regardless of method; 2D + cellmajor is now a supported pair."""
+        rng = np.random.default_rng(5)
+        N, L = 16, 40.0
+        bins = (np.arange(N) + 0.5) * (L / N)
+        cat = HaloNDCatalog(x=[20.0], y=[20.0], z=[20.0], M=[1e14],
+                            q_ell=[0.5], A_ell=[[1.0, 0.0, 0.0]],
+                            redshift=0.25, cosmo=COSMO_DICT)
+        gm = GriddedMap(map=rng.uniform(0.5, 1.5, (N, N, N)),
+                        redshift=0.25, bins=bins, cosmo=COSMO_DICT)
+        with pytest.raises(NotImplementedError):
+            BaryonifyGrid(cat, gm, epsilon_max=10, model=displ3d,
+                          use_ellipticity=True)
 
 
 class TestPaintGrid:
