@@ -31,7 +31,7 @@ Replaces the reference's notebook-side diagnostics:
   spectra practical on one chip.
 """
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -339,18 +339,34 @@ def anafast(hmap, nside, lmax):
     quadrature) and ``anafast_direct`` to float precision; runs
     NSIDE=1024 / lmax ~ 3*nside on a single chip.
 
-    Precision follows the jax x64 mode: f64 (CPU default) or f32
-    (accelerators) — seeds are always precomputed in f64 on the host.
+    Precision: f64 on CPU (under the package's global x64 mode), f32 on
+    accelerators (traced under ``x64_disabled`` — TPU FFT has no c128
+    path) — seeds are always precomputed in f64 on the host.
     """
-    hmap = jnp.asarray(hmap)
-    dt = jnp.zeros(0).dtype          # respects enable_x64
-    hmap = hmap.astype(dt)
-    M = 1
-    while M < 8 * nside:
-        M *= 2
+    from contextlib import nullcontext
+    if jax.default_backend() == "cpu":
+        ctx = nullcontext()
+    else:
+        from ..utils import x64_disabled
+        ctx = x64_disabled()
+    with ctx:
+        dt = jnp.zeros(0).dtype      # reflects the active x64 mode
+        hmap = jnp.asarray(hmap).astype(dt)
+        M = 1
+        while M < 8 * nside:
+            M *= 2
+        return _anafast_core(hmap, nside, lmax, M,
+                             *_anafast_seed_consts(nside, lmax, str(dt)))
+
+
+@lru_cache(maxsize=4)
+def _anafast_seed_consts(nside, lmax, dt_name):
+    """Device-resident geometry + seed arrays, cached per (nside, lmax,
+    dtype) — they are map-independent and ~70 MB at NSIDE=1024, so
+    re-uploading them per call would dominate on a remote device."""
+    dt = jnp.dtype(dt_name)
     lnF = np.log(1e40 if dt == jnp.dtype('float64') else 1e20)
     z, start, npr, shift, p_mm, sc0 = _anafast_seeds(nside, lmax, lnF)
-    return _anafast_core(hmap, nside, lmax, M,
-                         jnp.asarray(z, dtype=dt), jnp.asarray(start),
-                         jnp.asarray(npr), jnp.asarray(shift, dtype=dt),
-                         jnp.asarray(p_mm, dtype=dt), jnp.asarray(sc0))
+    return (jnp.asarray(z, dtype=dt), jnp.asarray(start),
+            jnp.asarray(npr), jnp.asarray(shift, dtype=dt),
+            jnp.asarray(p_mm, dtype=dt), jnp.asarray(sc0))

@@ -5,6 +5,7 @@ Usage:  python bench_runners.py snap     # particle snapshot displacement
         python bench_runners.py grid     # 3D grid baryonify
         python bench_runners.py grid2d   # flat-sky 2D map baryonify+paint
         python bench_runners.py paint    # NSIDE=1024 tSZ shell painting
+        python bench_runners.py cls      # NSIDE=1024 anafast C_ell
 Scales via NHALO / NPART / NGRID / NSIDE env vars. One TPU process at a
 time.
 
@@ -214,6 +215,27 @@ elif which == "grid2d":
         run(PaintProfilesGrid(cat, gm, epsilon_max=5, model=tab,
                               method=method, verbose=False),
             f"grid2d/paint/{method}")
+
+elif which == "cls":
+    # the reference's example-09 diagnostic at production resolution:
+    # healpy.anafast of an NSIDE=1024 map (ring-FFT SHT, f32 on TPU)
+    from baryonification_tpu.ops.spectra import anafast
+    nside = int(os.environ.get("NSIDE", 1024))
+    lmax = int(os.environ.get("LMAX", 2 * nside))
+    m = rng.normal(size=12 * nside * nside)
+    t0 = time.time()
+    cl = np.asarray(anafast(m, nside, lmax))
+    _ = float(cl.sum())
+    warm = time.time() - t0
+    ts = []
+    for _i in range(3):
+        t0 = time.time()
+        cl = np.asarray(anafast(m, nside, lmax))
+        _ = float(cl.sum())
+        ts.append(time.time() - t0)
+    flat = float(np.mean(cl[4:lmax // 2]) / (4 * np.pi / m.size))
+    print(f"cls/nside{nside}/lmax{lmax}: warm {warm:.1f}s "
+          f"steady {min(ts):.2f}s  white-noise flatness {flat:.4f}")
 
 else:
     sys.exit(f"unknown mode {which!r}")
