@@ -1129,8 +1129,11 @@ class PaintProfilesShell(DefaultRunner):
                             packed_all[jidx], grids[0], grids[1], table,
                             grids[2], float(self.epsilon_max), map_nested)
                         continue
+                    t0 = self._stage_t0()
                     dense, counts, K, nsc_eff = self._dense_candidates(
                         bi, nside_c, lazy_sub, dt, r_b)
+                    self._stage(f"reg[b{bi} nc{nside_c} "
+                                f"h{len(idx)}]", t0, counts)
                     F = (nside // nsc_eff) ** 2
                     C_blk = self._cell_chunk(nsc_eff, F, n_dev=n_dev)
                     if self.verbose:
@@ -1138,10 +1141,13 @@ class PaintProfilesShell(DefaultRunner):
                               f"({len(idx)} halos, "
                               f"nside_c={nside_c}->{nsc_eff}, K={K}, "
                               f"F={F}, C={C_blk}, n_hi={n_hi})")
+                    t0 = self._stage_t0()
                     map_nested = cm.cellmajor_paint_pass(
                         F, C_blk, n_hi, vxn, vyn, vzn, dense, counts,
                         packed_all[jidx], grids[0], grids[1], table,
                         grids[2], float(self.epsilon_max), map_nested)
+                    self._stage(f"pass[b{bi} nc{nsc_eff} K{K} "
+                                f"n_hi{n_hi}]", t0, map_nested)
             groups = ([] if self.method == "cellmajor"
                       else [(None, i) for i in buckets])
             for bi, (nsc, idx) in enumerate(groups):
@@ -1188,10 +1194,15 @@ class PaintProfilesShell(DefaultRunner):
                         jnp.asarray(sub['props'][s], dtype=dt), new_map)
 
             if self.method == "cellmajor":
+                t0 = self._stage_t0()
                 _, r2n = self._nested_maps(nside)
                 new_map = new_map + map_nested[r2n]
+                self._stage("n2r", t0, new_map)
 
-        return np.asarray(new_map, dtype=np.float64)
+        t0 = self._stage_t0()
+        out = np.asarray(new_map, dtype=np.float64)
+        self._stage("fetch_map", t0)
+        return out
 
     def process_device(self, table=None):
         """Differentiable, device-resident cell-major painting.
