@@ -325,6 +325,9 @@ def _anafast_core(hmap, nside, lmax, M, z_d, start_d, npr_d, shift_d,
         return (new_p2, p, sc), cl
 
     zero = jnp.zeros((lmax + 1, nring), dtype=dt)
+    # no unroll: measured on v5e at NSIDE=1024 — unroll=4 was ~2x SLOWER
+    # (the ~150 MB carries exceed VMEM, so unrolling only bloats the
+    # program) and quadrupled compile time
     (_, _, _), cl = jax.lax.scan(
         step, (zero, zero, jnp.zeros((lmax + 1, nring), jnp.int32)),
         jnp.arange(lmax + 1))
