@@ -59,11 +59,13 @@ def _parse_fits_headers(fh):
         naxis = int(cards.get('NAXIS', '0'))
         nbytes = 0
         if naxis > 0:
-            nbytes = abs(int(cards.get('BITPIX', '8'))) // 8
+            # FITS standard: |BITPIX|/8 * GCOUNT * (PCOUNT + prod NAXISi)
+            prod = 1
             for ax in range(1, naxis + 1):
-                nbytes *= int(cards[f'NAXIS{ax}'])
-            nbytes *= int(cards.get('GCOUNT', '1'))
-            nbytes += int(cards.get('PCOUNT', '0'))
+                prod *= int(cards[f'NAXIS{ax}'])
+            nbytes = (abs(int(cards.get('BITPIX', '8'))) // 8
+                      * int(cards.get('GCOUNT', '1'))
+                      * (int(cards.get('PCOUNT', '0')) + prod))
         offset = fh.tell()
         out.append((cards, offset, nbytes))
         fh.seek(offset + -(-nbytes // 2880) * 2880)
@@ -90,6 +92,11 @@ def read_healpix_fits(path, field=0):
             raise ValueError(f"{path}: no BINTABLE HDU "
                              "(not a healpy-style HEALPix map file)")
         cards, offset, nbytes = table
+        if cards.get('INDXSCHM', 'IMPLICIT').upper().startswith('EXPL'):
+            raise NotImplementedError(
+                f"{path}: INDXSCHM=EXPLICIT (partial-sky map with a "
+                "PIXEL index column) is not supported — read the "
+                "PIXEL/SIGNAL columns with field= and assemble manually")
         nrow = int(cards['NAXIS2'])
         tfields = int(cards['TFIELDS'])
         dtl = []

@@ -280,9 +280,15 @@ def _anafast_core(hmap, nside, lmax, M, z_d, start_d, npr_d, shift_d,
     mi = jnp.arange(lmax + 1, dtype=jnp.int32)
     kk = jnp.mod(mi[None, :], npr_d[:, None].astype(jnp.int32))
     Dg = jnp.take_along_axis(D, kk, axis=1).T          # (L, nring)
-    phi0 = shift_d * (2 * jnp.pi) / npr_d.astype(dt)
-    G = dt.type(dOmega) * jnp.exp(
-        -1j * mi[:, None].astype(dt) * phi0[None, :]) * Dg
+    # ring phase e^{-i m phi0}, phi0 = shift * 2 pi / npr with
+    # shift in {0, 1/2}: reduce the argument EXACTLY in integers
+    # ((m * 2 shift) mod 2 npr) — at f32 the raw product m * phi0
+    # reaches ~2e3 rad on polar rings and loses 3-4 digits
+    s2 = jnp.round(2.0 * shift_d).astype(jnp.int32)    # 0 or 1
+    npr_i = npr_d.astype(jnp.int32)
+    k2 = jnp.mod(mi[:, None] * s2[None, :], 2 * npr_i[None, :])
+    theta0 = jnp.pi * k2.astype(dt) / npr_i[None, :].astype(dt)
+    G = dt.type(dOmega) * jnp.exp(-1j * theta0) * Dg
     Gr, Gi = jnp.real(G).astype(dt), jnp.imag(G).astype(dt)
 
     # stage 2: scaled normalized-Legendre scan over ell, full (m, ring)

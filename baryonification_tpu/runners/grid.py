@@ -39,8 +39,11 @@ def build_Rmat(A, q):
     (1 - q)/(1 + q), and the position angle only enters through
     cos/sin(2 beta) which follow algebraically from the normalized axis
     vector — no trig, logs, or series needed. beta = arccos(A_x) in
-    [0, pi] is the reference's convention (the sign of A_y does not
-    flip the orientation there; ellipse orientations are mod pi).
+    [0, pi] is the reference's convention; note it discards the sign
+    of A_y, i.e. (ax, ay) and (ax, -ay) give the SAME matrix even
+    though they are physically distinct orientations — faithful to
+    `Map2DRunner.py:303-329` (golden-tested), not a simplification
+    choice here.
 
     The matrix is area-preserving (det = 1): coordinates ALONG A are
     stretched by q^(-1/2) and perpendicular ones shrunk by q^(1/2), so
@@ -804,11 +807,12 @@ class PaintProfilesGrid(DefaultRunnerGrid):
             assert isinstance(model, ParamTabulatedProfile), (
                 f"You asked to use {p_keys} properties in painting. You "
                 f"must pass a ParamTabulatedProfile as the model.")
-        if not hasattr(model, '_ln2D'):
+        attr = '_ln2D' if gm.is2D else '_ln3D'
+        if not hasattr(model, attr):
             raise NameError(
                 "PaintProfilesGrid requires a tabulated model "
                 "(TabulatedProfile / ParamTabulatedProfile).")
-        table = model._ln2D if gm.is2D else model._ln3D
+        table = getattr(model, attr)
 
         a, arrs = self._halo_arrays(cosmo, comoving_R=True)
         R_com = arrs['R']
@@ -851,11 +855,12 @@ class PaintProfilesGrid(DefaultRunnerGrid):
         model = self.model
         gm = self.GriddedMap
         if table is None:
-            if not hasattr(model, '_ln2D'):
+            attr = '_ln2D' if gm.is2D else '_ln3D'
+            if not hasattr(model, attr):
                 raise NameError(
                     "PaintProfilesGrid requires a tabulated model "
                     "(TabulatedProfile / ParamTabulatedProfile).")
-            table = model._ln2D if gm.is2D else model._ln3D
+            table = getattr(model, attr)
         a, arrs = self._halo_arrays(cosmo, comoving_R=True)
         R_com = arrs['R']
         Nsize = (2 * self.epsilon_max * R_com / gm.res).astype(np.int64)

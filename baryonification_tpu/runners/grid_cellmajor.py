@@ -625,7 +625,6 @@ def grid_offsets_pass_2d(use_rdelta, B, C_blk, n_hi, N, half,
              radius and pushes along the circular unit vector.
     Output: block-major (ox, oy) offset planes in PIXEL units.
     """
-    F = B * B
     ncell = counts.shape[0]
     K_pad = hid_dense.shape[0] // ncell
     n_chunks = ncell // C_blk
@@ -700,7 +699,6 @@ def grid_paint_pass_2d(B, C_blk, n_hi, N, half,
                        block0=0):
     """2D cell-major painting pass (projected log-profile table; the
     readout radius is the elliptical one)."""
-    F = B * B
     ncell = counts.shape[0]
     K_pad = hid_dense.shape[0] // ncell
     n_chunks = ncell // C_blk

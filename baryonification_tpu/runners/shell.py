@@ -294,9 +294,14 @@ class DefaultRunner:
                 cell_map=self._cell_map_nested(nside_c))
             # generous rounding: K_pad only sets the dense-matrix SHAPE
             # (the slot loop runs to the chunk-local max count), so a
-            # coarse ladder buys compile sharing across buckets for free
+            # coarse ladder buys compile sharing across buckets for free.
+            # Above ~4M cells the 64-quantum dense matrix alone is GBs
+            # (npix(2048) * 64 * 4B = 12.8 GB -> OOM), so huge-ncell
+            # buckets drop to an 8-quantum — those shapes are rare, so
+            # the compile-sharing loss is negligible.
             K = int(K)
-            K_pad = max(64, -(-K // 64) * 64)
+            q = self._kpad_quantum(hpx.npix(nside_c))
+            K_pad = max(q, -(-K // q) * q)
             dense, counts = cm.dense_cell_candidates(
                 hpx.npix(nside_c), K_pad, hids, cell_start)
             nside = self.LightconeShell.NSIDE
@@ -323,11 +328,19 @@ class DefaultRunner:
                 dense2d, counts, K_dev = cm.refine_cell_candidates(
                     hpx.npix(nsc), dense, counts, cvx, cvy, cvz, hrec)
                 K = int(K_dev)
-                K_pad = max(64, -(-K // 64) * 64)
+                q = self._kpad_quantum(hpx.npix(nsc))
+                K_pad = max(q, -(-K // q) * q)
                 dense = dense2d[:, :min(K_pad,
                                         dense2d.shape[1])].reshape(-1)
             cache[key] = (dense, counts, K, nsc)
         return cache[key]
+
+    @staticmethod
+    def _kpad_quantum(ncell):
+        """Dense-candidate K_pad quantum: 64 (compile sharing) while the
+        matrix stays well under a GB, 8 for multi-million-cell buckets
+        (NSIDE >= 2048 registration levels) to bound HBM."""
+        return 64 if ncell <= (1 << 22) else 8
 
     def _cell_centers_nested(self, nside_c, dt):
         """NESTED-order cell-center unit-vector planes at an arbitrary

@@ -68,11 +68,9 @@ def power_law_masses(n, Mlo=1e13, Mhi=1e15, slope=-0.8):
     return Mlo * (1 - u * (1 - (Mhi / Mlo) ** slope)) ** (1 / slope)
 
 
-def disp_model_3d():
-    cache = ".bench_table3d.npz"
-    model = Baryonification3D(DarkMatterOnly(**PAR),
-                              DarkMatterBaryon(**PAR), cosmo,
-                              epsilon_max=15)
+def disp_model(cls, cache):
+    model = cls(DarkMatterOnly(**PAR), DarkMatterBaryon(**PAR), cosmo,
+                epsilon_max=15)
     if os.path.exists(cache):
         model.load_table(cache)
     else:
@@ -84,24 +82,14 @@ def disp_model_3d():
         print(f"# table: {time.time()-t0:.0f}s", file=sys.stderr)
         model.save_table(cache)
     return model
+
+
+def disp_model_3d():
+    return disp_model(Baryonification3D, ".bench_table3d.npz")
 
 
 def disp_model_2d():
-    cache = ".bench_table2d_flat.npz"
-    model = Baryonification2D(DarkMatterOnly(**PAR),
-                              DarkMatterBaryon(**PAR), cosmo,
-                              epsilon_max=15)
-    if os.path.exists(cache):
-        model.load_table(cache)
-    else:
-        t0 = time.time()
-        model.setup_interpolator(z_min=0.05, z_max=1.0, N_samples_z=8,
-                                 M_min=1e12, M_max=1e16,
-                                 N_samples_Mass=24, R_min=1e-3, R_max=1e2,
-                                 N_samples_R=100)
-        print(f"# table: {time.time()-t0:.0f}s", file=sys.stderr)
-        model.save_table(cache)
-    return model
+    return disp_model(Baryonification2D, ".bench_table2d_flat.npz")
 
 
 def tsz_model(nside):
@@ -211,7 +199,7 @@ elif which == "grid2d":
     gm = GriddedMap(map=rng.uniform(0.5, 1.5, (N, N)).astype(np.float64),
                     redshift=0.25, bins=bins, cosmo=COSMO)
     model = disp_model_2d()
-    methods = os.environ.get("METHODS", "scatter").split(",")
+    methods = os.environ.get("METHODS", "cellmajor,scatter").split(",")
     for method in methods:
         run(BaryonifyGrid(cat, gm, epsilon_max=15, model=model,
                           method=method, verbose=False),
