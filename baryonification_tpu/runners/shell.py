@@ -332,6 +332,13 @@ class DefaultRunner:
                 K_pad = max(q, -(-K // q) * q)
                 dense = dense2d[:, :min(K_pad,
                                         dense2d.shape[1])].reshape(-1)
+            if (getattr(self, 'low_memory', False)
+                    and dense.size * dense.dtype.itemsize > (256 << 20)):
+                # NSIDE >= 2048: holding every bucket's multi-GB dense
+                # candidate matrix on device at once exceeds HBM —
+                # recompute the huge ones per call and let each free
+                # after its pass (small buckets stay cached/amortized)
+                return (dense, counts, K, nsc)
             cache[key] = (dense, counts, K, nsc)
         return cache[key]
 

@@ -87,18 +87,46 @@ def refine_cell_candidates(nc_child, dense_parent, counts_parent,
     """
     nc_parent = nc_child // 4
     K_pad = dense_parent.shape[0] // nc_parent
-    hid = jnp.repeat(dense_parent.reshape(nc_parent, K_pad), 4, axis=0)
-    cnt = jnp.repeat(counts_parent, 4)
+    dense_p2d = dense_parent.reshape(nc_parent, K_pad)
     k = jnp.arange(K_pad, dtype=jnp.int32)[None, :]
-    rec = hrec[hid.reshape(-1)]
-    dot = (cvx[:, None] * rec[:, 0].reshape(nc_child, K_pad)
-           + cvy[:, None] * rec[:, 1].reshape(nc_child, K_pad)
-           + cvz[:, None] * rec[:, 2].reshape(nc_child, K_pad))
-    ok = (k < cnt[:, None]) & (dot >= rec[:, 3].reshape(nc_child, K_pad))
-    # stable compaction: valid slots first, original slot order kept
-    keys = jnp.where(ok, k, K_pad + k)
-    _, hid_s = jax.lax.sort((keys, hid), num_keys=1)
-    counts_child = jnp.sum(ok, axis=1).astype(jnp.int32)
+
+    # chunk over child cells: the (Cc * K_pad, 8) record gather is the
+    # memory hot spot — at multi-million-cell child levels with K_pad in
+    # the hundreds a monolithic gather is tens of GB (the NSIDE=2048
+    # OOM); Cc stays a multiple of 4 so chunks align with NESTED parents
+    # (children of parent p are ids 4p..4p+3)
+    n_chunks = 1
+    while (nc_child // n_chunks) * K_pad > (1 << 22) \
+            and (nc_child // n_chunks) % 8 == 0:
+        n_chunks *= 2
+    Cc = nc_child // n_chunks
+
+    def one_chunk(ci):
+        c0 = ci * Cc
+        par = jax.lax.dynamic_slice_in_dim(dense_p2d, c0 // 4, Cc // 4)
+        hid = jnp.repeat(par, 4, axis=0)
+        cnt = jnp.repeat(jax.lax.dynamic_slice_in_dim(
+            counts_parent, c0 // 4, Cc // 4), 4)
+        rec = hrec[hid.reshape(-1)]
+        cx = jax.lax.dynamic_slice_in_dim(cvx, c0, Cc)
+        cy = jax.lax.dynamic_slice_in_dim(cvy, c0, Cc)
+        cz = jax.lax.dynamic_slice_in_dim(cvz, c0, Cc)
+        dot = (cx[:, None] * rec[:, 0].reshape(Cc, K_pad)
+               + cy[:, None] * rec[:, 1].reshape(Cc, K_pad)
+               + cz[:, None] * rec[:, 2].reshape(Cc, K_pad))
+        ok = (k < cnt[:, None]) & (dot >= rec[:, 3].reshape(Cc, K_pad))
+        # stable compaction: valid slots first, original slot order kept
+        keys = jnp.where(ok, k, K_pad + k)
+        _, hid_s = jax.lax.sort((keys, hid), num_keys=1)
+        return hid_s, jnp.sum(ok, axis=1).astype(jnp.int32)
+
+    if n_chunks == 1:
+        hid_s, counts_child = one_chunk(jnp.int32(0))
+    else:
+        hid_s, counts_child = jax.lax.map(one_chunk,
+                                          jnp.arange(n_chunks))
+        hid_s = hid_s.reshape(nc_child, K_pad)
+        counts_child = counts_child.reshape(nc_child)
     return hid_s, counts_child, jnp.max(counts_child)
 
 

@@ -79,6 +79,10 @@ def main():
 
     runner = BaryonifyShell(cat, shell, epsilon_max=eps_max, model=model,
                             verbose=False)
+    if nside >= 2048:
+        # holding every bucket's dense candidates on device exceeds HBM
+        # at 50M+ pixels; recompute them per call instead
+        runner.low_memory = True
     profile = os.environ.get("BENCH_PROFILE", "") not in ("", "0")
     if profile:
         # per-stage wall times with a device sync after each stage
