@@ -333,7 +333,8 @@ class DefaultRunner:
                 dense = dense2d[:, :min(K_pad,
                                         dense2d.shape[1])].reshape(-1)
             if (getattr(self, 'low_memory', False)
-                    and dense.size * dense.dtype.itemsize > (256 << 20)):
+                    and dense.size * dense.dtype.itemsize
+                    > getattr(self, 'low_memory_bytes', 256 << 20)):
                 # NSIDE >= 2048: holding every bucket's multi-GB dense
                 # candidate matrix on device at once exceeds HBM —
                 # recompute the huge ones per call and let each free

@@ -286,6 +286,34 @@ class TestGatherScatterParity:
         np.testing.assert_allclose(m_cm, m_sc, atol=1e-6 * scale,
                                    rtol=1e-6)
 
+    def test_baryonify_cellmajor_low_memory_agrees(self, displ2d):
+        """low_memory mode (huge dense-candidate matrices recomputed per
+        call instead of device-cached) is bit-identical to the default
+        across repeated process() calls."""
+        nside = 64
+        rng = np.random.default_rng(11)
+        n_halo = 25
+        cat = HaloLightConeCatalog(
+            ra=rng.uniform(0, 360, n_halo),
+            dec=np.degrees(np.arcsin(rng.uniform(-0.9, 0.9, n_halo))),
+            M=10 ** rng.uniform(14.5, 14.95, n_halo),
+            z=rng.uniform(0.06, 0.15, n_halo), cosmo=COSMO_DICT)
+        shell = LightconeShell(map=rng.uniform(0.5, 1.5,
+                                               hpx.npix(nside)),
+                               cosmo=COSMO_DICT)
+        r_def = BaryonifyShell(cat, shell, epsilon_max=20, model=displ2d,
+                               method="cellmajor", verbose=False)
+        m_def = r_def.process()
+        r_lm = BaryonifyShell(cat, shell, epsilon_max=20, model=displ2d,
+                              method="cellmajor", verbose=False)
+        r_lm.low_memory = True
+        r_lm.low_memory_bytes = 0     # force the no-cache path
+        m_lm = r_lm.process()
+        assert len(r_lm._dense_cache) == 0 and len(r_def._dense_cache) > 0
+        np.testing.assert_array_equal(m_lm, m_def)
+        # a second call recomputes the candidates and still agrees
+        np.testing.assert_array_equal(r_lm.process(), m_def)
+
     def test_paint_methods_agree(self, shell_setup, cosmo):
         from baryonification_tpu.profiles import Gas
         from baryonification_tpu.tabulate import TabulatedProfile
