@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from . import healpix as hpx
 
 __all__ = ["power_spectrum_3d", "power_spectrum_2d", "anafast",
-           "anafast_direct"]
+           "anafast_direct", "alm2map", "synalm", "synfast"]
 
 
 def power_spectrum_3d(delta, L, n_bins=None, subtract_shot=0.0):
@@ -202,27 +202,28 @@ def anafast_direct(hmap, nside, lmax):
     return cl / (2.0 * ell + 1.0)
 
 
-def _ring_dfts(vals, npr, M):
+def _ring_dfts(vals, npr, M, sign=-1):
     """Native-length DFT of every padded ring row via batched Bluestein.
 
-    vals : (nring, maxn) real ring samples, zero beyond npr[r]
+    vals : (nring, maxn) real or complex ring samples, zero beyond npr[r]
     npr  : (nring,) int32 ring lengths (all <= maxn)
     M    : static convolution length, power of two >= 2 * maxn
+    sign : -1 (analysis) or +1 (synthesis) exponent sign
 
-    Returns complex D[r, k] = sum_j vals[r, j] e^{-2 pi i j k / npr[r]}
+    Returns complex D[r, k] = sum_j vals[r, j] e^{sign 2 pi i j k / npr[r]}
     for k < npr[r] (zero beyond). Bluestein: with chirp
-    w_j = e^{i pi j^2 / n}, D[k] = conj(w_k) * (a (*) b)[k] where
+    w_j = e^{-sign i pi j^2 / n}, D[k] = conj(w_k) * (a (*) b)[k] where
     a_j = f_j conj(w_j) and b_j = w_j for |j| < n — ONE circular
     convolution of length M, shared by every ring regardless of its n.
     Chirp phases use j^2 mod 2n (exact in int32: e^{-i pi (2n t)/n} = 1),
     so single precision stays accurate at j ~ 4 * nside.
     """
     nring, maxn = vals.shape
-    dt = vals.dtype
+    dt = jnp.real(vals).dtype
     n = npr[:, None].astype(jnp.int32)
     j = jnp.arange(maxn, dtype=jnp.int32)[None, :]
     jsq = (j * j) % (2 * n)
-    theta = (jnp.pi * jsq.astype(dt)) / n.astype(dt)
+    theta = dt.type(-sign) * (jnp.pi * jsq.astype(dt)) / n.astype(dt)
     w = jnp.exp(1j * theta)                       # (nring, maxn)
     a = jnp.where(j < n, vals, 0.0) * jnp.conj(w)
     A = jnp.fft.fft(a, n=M, axis=1)
@@ -231,7 +232,8 @@ def _ring_dfts(vals, npr, M):
     s = jnp.minimum(jj, M - jj)                   # wrapped |offset|
     ssq = (s * s) % (2 * n)
     b = jnp.where(s < n,
-                  jnp.exp(1j * (jnp.pi * ssq.astype(dt)) / n.astype(dt)),
+                  jnp.exp(1j * dt.type(-sign)
+                          * (jnp.pi * ssq.astype(dt)) / n.astype(dt)),
                   0.0)
     conv = jnp.fft.ifft(A * jnp.fft.fft(b, axis=1), axis=1)[:, :maxn]
     D = jnp.conj(w) * conv
@@ -366,6 +368,139 @@ def anafast(hmap, nside, lmax):
             M *= 2
         return _anafast_core(hmap, nside, lmax, M,
                              *_anafast_seed_consts(nside, lmax, str(dt)))
+
+
+@partial(jax.jit, static_argnames=("nside", "lmax", "M"))
+def _alm2map_core(alm_re, alm_im, nside, lmax, M, z_d, start_d, npr_d,
+                  shift_d, p_mm, sc0):
+    """Synthesis (inverse SHT): f = sum_{l, m>=0} w_m Re(a_lm Y_lm),
+    w_0 = 1, w_m = 2 — the adjoint structure of `_anafast_core` run
+    backwards: (1) the scaled-Legendre ell scan ACCUMULATES
+    B[m, r] = sum_l a_lm lambda_lm(x_r); (2) m's alias-fold into each
+    ring's native frequency bins with the exact integer-reduced phi0
+    phase; (3) batched inverse Bluestein DFTs evaluate every ring."""
+    dt = alm_re.dtype
+    maxn = 4 * nside
+    nring = 4 * nside - 1
+
+    if dt == jnp.dtype('float64'):
+        FOLD, BIG = 1e40, 1e20
+    else:
+        FOLD, BIG = 1e20, 1e10
+    x_row = z_d[None, :].astype(dt)
+    mi = jnp.arange(lmax + 1, dtype=jnp.int32)
+    mf = mi.astype(dt)[:, None]
+    p_mm = p_mm.astype(dt)
+
+    def step(carry, inp):
+        p2, p1, sc, Br, Bi = carry
+        l, ar, ai = inp                      # alm row at this ell
+        lf = l.astype(dt)
+        al = jnp.sqrt(jnp.maximum((2 * lf - 1) * (2 * lf + 1), 0.5)
+                      / jnp.maximum((lf - mf) * (lf + mf), 0.5))
+        al1 = jnp.sqrt(jnp.maximum((2 * lf - 3) * (2 * lf - 1), 0.5)
+                       / jnp.maximum((lf - 1 - mf) * (lf - 1 + mf), 0.5))
+        p = al * (x_row * p1 - p2 / al1)
+        is_seed = (l == mi[:, None])
+        p = jnp.where(is_seed, p_mm, p)
+        sc = jnp.where(is_seed, sc0, sc)
+        grow = (jnp.abs(p) > BIG) & (sc > 0)
+        p = jnp.where(grow, p * (1.0 / FOLD), p)
+        new_p2 = jnp.where(is_seed, 0.0,
+                           jnp.where(grow, p1 * (1.0 / FOLD), p1))
+        sc = sc - grow.astype(jnp.int32)
+        lam = jnp.where(sc == 0, p, 0.0)
+        Br = Br + ar[:, None] * lam
+        Bi = Bi + ai[:, None] * lam
+        return (new_p2, p, sc, Br, Bi), None
+
+    zero = jnp.zeros((lmax + 1, nring), dtype=dt)
+    (_, _, _, Br, Bi), _ = jax.lax.scan(
+        step,
+        (zero, zero, jnp.zeros((lmax + 1, nring), jnp.int32), zero, zero),
+        (jnp.arange(lmax + 1), alm_re.astype(dt), alm_im.astype(dt)))
+
+    # fold m into each ring's native bins k = m mod npr, carrying the
+    # first-pixel phase e^{+i m phi0} (exact integer argument reduction
+    # as in analysis) and the real-field multiplicity w_m
+    npr_i = npr_d.astype(jnp.int32)
+    s2 = jnp.round(2.0 * shift_d).astype(jnp.int32)    # 0 or 1
+    k2 = jnp.mod(mi[:, None] * s2[None, :], 2 * npr_i[None, :])
+    theta0 = jnp.pi * k2.astype(dt) / npr_i[None, :].astype(dt)
+    wm = jnp.where(mi == 0, 1.0, 2.0).astype(dt)[:, None]
+    Bc = (wm * (Br + 1j * Bi)) * jnp.exp(1j * theta0)  # (L, nring)
+    kk = jnp.mod(mi[:, None], npr_i[None, :])          # (L, nring)
+    flat = (jnp.arange(nring, dtype=jnp.int32)[None, :]
+            * maxn + kk).reshape(-1)
+    Cr = jnp.zeros(nring * maxn, dtype=dt).at[flat].add(
+        jnp.real(Bc).reshape(-1)).reshape(nring, maxn)
+    Ci = jnp.zeros(nring * maxn, dtype=dt).at[flat].add(
+        jnp.imag(Bc).reshape(-1)).reshape(nring, maxn)
+
+    # inverse native-length DFTs; pixel j of ring r gets
+    # Re sum_k C[r, k] e^{+2 pi i k j / npr}
+    F = _ring_dfts(Cr + 1j * Ci, npr_i, M, sign=+1)
+    vals = jnp.real(F)
+
+    j = jnp.arange(maxn)
+    valid = j[None, :] < npr_d[:, None]
+    pix = start_d[:, None] + jnp.minimum(j[None, :], npr_d[:, None] - 1)
+    return jnp.zeros(hpx.npix(nside), dtype=dt).at[pix.reshape(-1)].add(
+        jnp.where(valid, vals, 0.0).reshape(-1))
+
+
+def alm2map(alm_re, alm_im, nside, lmax):
+    """Synthesize a RING-ordered HEALPix map from harmonic coefficients.
+
+    alm_re/alm_im : (lmax+1, lmax+1) real/imag parts of a_lm, indexed
+    [l, m] with the m > l triangle ignored. Conventions match
+    :func:`anafast` (complex Y_lm with positive-m storage for a real
+    field, scipy `sph_harm_y`-anchored), so
+    anafast(alm2map(a)) == sum_m w_m |a_lm|^2 / (2l+1) up to HEALPix
+    quadrature error. Precision/platform handling as in anafast."""
+    from contextlib import nullcontext
+    if jax.default_backend() == "cpu":
+        ctx = nullcontext()
+    else:
+        from ..utils import x64_disabled
+        ctx = x64_disabled()
+    with ctx:
+        dt = jnp.zeros(0).dtype
+        M = 1
+        while M < 8 * nside:
+            M *= 2
+        return _alm2map_core(jnp.asarray(alm_re), jnp.asarray(alm_im),
+                             nside, lmax, M,
+                             *_anafast_seed_consts(nside, lmax, str(dt)))
+
+
+def synalm(cl, lmax, key):
+    """Draw Gaussian a_lm with spectrum C_ell (healpy.synalm analog).
+
+    cl : (lmax+1,) angular power spectrum
+    Returns (alm_re, alm_im), each (lmax+1, lmax+1) [l, m]: m = 0 modes
+    are real ~ N(0, C_l); m > 0 have re/im ~ N(0, C_l / 2), so
+    E[sum_m w_m |a_lm|^2] = (2l+1) C_l, the anafast estimator's mean."""
+    cl = jnp.asarray(cl)
+    L = lmax + 1
+    kr, ki = jax.random.split(jax.random.PRNGKey(key)
+                              if isinstance(key, int) else key)
+    l = jnp.arange(L)[:, None]
+    m = jnp.arange(L)[None, :]
+    tri = (m <= l)
+    std = jnp.sqrt(jnp.maximum(cl, 0.0))[:, None]
+    fac = jnp.where(m == 0, 1.0, np.sqrt(0.5)) * std * tri
+    alm_re = jax.random.normal(kr, (L, L), dtype=cl.dtype) * fac
+    alm_im = (jax.random.normal(ki, (L, L), dtype=cl.dtype) * fac
+              * (m > 0))
+    return alm_re, alm_im
+
+
+def synfast(cl, nside, lmax, key):
+    """Gaussian random RING-ordered map realization with spectrum C_ell
+    (healpy.synfast analog): alm2map(synalm(cl))."""
+    alm_re, alm_im = synalm(cl, lmax, key)
+    return alm2map(alm_re, alm_im, nside, lmax)
 
 
 @lru_cache(maxsize=4)
