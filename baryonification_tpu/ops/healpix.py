@@ -14,7 +14,7 @@ Conventions match HEALPix: theta = colatitude in [0, pi], phi in [0, 2pi),
 ring index i = 1..4n-1. All formulas from Gorski et al. 2005.
 """
 
-from functools import partial
+from functools import lru_cache as _functools_lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,7 @@ import numpy as np
 
 __all__ = ["npix", "nside2resol", "pix2ang", "ang2pix", "pix2vec", "ang2vec",
            "vec2ang", "ring_info", "z_to_ring", "get_interp_weights",
-           "disc_window"]
+           "disc_window", "ud_grade", "nest2ring", "ring2nest"]
 
 
 def npix(nside):
@@ -747,3 +747,51 @@ def ring2nest(nside, ipring):
     y = ((-ipt - irt) // 2).astype(np.uint64)
     rem = _spread_bits(x) | (_spread_bits(y) << np.uint64(1))
     return (face * n * n + rem.astype(np.int64))
+
+
+@_functools_lru_cache(maxsize=8)
+def _udgrade_index(nside_in, nside_out):
+    """Host-side gather/scatter indices for ud_grade, cached per pair.
+
+    Returns (ring_of_nested_in, ring_of_nested_out) as device arrays:
+    RING index of each NESTED pixel at the input/output resolution."""
+    r_in = jnp.asarray(nest2ring(nside_in, np.arange(12 * nside_in**2,
+                                                     dtype=np.int64)))
+    r_out = jnp.asarray(nest2ring(nside_out, np.arange(12 * nside_out**2,
+                                                       dtype=np.int64)))
+    return r_in, r_out
+
+
+def ud_grade(hmap, nside_out, power=0.0):
+    """Up/downgrade a RING-ordered HEALPix map (healpy.ud_grade analog).
+
+    Degrading averages each output pixel's 4^k NESTED children; upgrading
+    replicates the parent value into its children (no interpolation) —
+    the same semantics as healpy (`hp.ud_grade`, used by reference
+    workflows for resolution matching). ``power``: the result is divided
+    by (nside_in/nside_out)**power; power=-2 keeps the map SUM invariant
+    (mass-like maps), power=0 (default) keeps the MEAN invariant
+    (temperature-like maps). Bad-pixel (UNSEEN) handling is not
+    implemented."""
+    hmap = jnp.asarray(hmap)
+    npix_in = hmap.shape[-1]
+    nside_in = int(round(np.sqrt(npix_in / 12)))
+    if 12 * nside_in**2 != npix_in:
+        raise ValueError(f"ud_grade: invalid map size {npix_in}")
+    nside_out = int(nside_out)
+    r_in, r_out = _udgrade_index(nside_in, nside_out)
+    if nside_out <= nside_in:
+        k = (nside_in // nside_out) ** 2
+        nested = hmap[..., r_in].reshape(hmap.shape[:-1] + (-1, k))
+        vals = jnp.mean(nested, axis=-1)
+    else:
+        k = (nside_out // nside_in) ** 2
+        nested = jnp.repeat(hmap[..., r_in], k, axis=-1)
+        vals = nested
+    out = jnp.zeros(hmap.shape[:-1] + (12 * nside_out**2,),
+                    dtype=hmap.dtype)
+    out = out.at[..., r_out].set(vals)
+    if power:
+        out = out / jnp.asarray((nside_in / nside_out) ** power,
+                                dtype=hmap.dtype)
+    return out

@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from . import healpix as hpx
 
 __all__ = ["power_spectrum_3d", "power_spectrum_2d", "anafast",
-           "anafast_direct", "alm2map", "synalm", "synfast"]
+           "anafast_direct", "map2alm", "alm2map", "synalm", "synfast",
+           "gauss_beam", "smoothing"]
 
 
 def power_spectrum_3d(delta, L, n_bins=None, subtract_shot=0.0):
@@ -264,9 +265,9 @@ def _anafast_seeds(nside, lmax, log_fold):
             p_mm, sc0.astype(np.int32))
 
 
-@partial(jax.jit, static_argnames=("nside", "lmax", "M"))
+@partial(jax.jit, static_argnames=("nside", "lmax", "M", "want_alm"))
 def _anafast_core(hmap, nside, lmax, M, z_d, start_d, npr_d, shift_d,
-                  p_mm, sc0):
+                  p_mm, sc0, want_alm=False):
     dt = hmap.dtype
     maxn = 4 * nside
     nring = 4 * nside - 1
@@ -329,6 +330,8 @@ def _anafast_core(hmap, nside, lmax, M, z_d, start_d, npr_d, shift_d,
         lam = jnp.where(sc == 0, p, 0.0)
         Ar = jnp.sum(Gr * lam, axis=1)
         Ai = jnp.sum(Gi * lam, axis=1)
+        if want_alm:
+            return (new_p2, p, sc), (Ar, Ai)
         cl = jnp.sum(mult * (Ar * Ar + Ai * Ai))
         return (new_p2, p, sc), cl
 
@@ -336,11 +339,16 @@ def _anafast_core(hmap, nside, lmax, M, z_d, start_d, npr_d, shift_d,
     # no unroll: measured on v5e at NSIDE=1024 — unroll=4 was ~2x SLOWER
     # (the ~150 MB carries exceed VMEM, so unrolling only bloats the
     # program) and quadrupled compile time
-    (_, _, _), cl = jax.lax.scan(
+    (_, _, _), out = jax.lax.scan(
         step, (zero, zero, jnp.zeros((lmax + 1, nring), jnp.int32)),
         jnp.arange(lmax + 1))
+    if want_alm:
+        # rows are a_lm for one l each: (lmax+1, lmax+1) indexed [l, m]
+        mvalid = (jnp.arange(lmax + 1)[None, :]
+                  <= jnp.arange(lmax + 1)[:, None])
+        return out[0] * mvalid, out[1] * mvalid
     ell = jnp.arange(lmax + 1, dtype=dt)
-    return cl / (2.0 * ell + 1.0)
+    return out / (2.0 * ell + 1.0)
 
 
 def anafast(hmap, nside, lmax):
@@ -368,6 +376,59 @@ def anafast(hmap, nside, lmax):
             M *= 2
         return _anafast_core(hmap, nside, lmax, M,
                              *_anafast_seed_consts(nside, lmax, str(dt)))
+
+
+def map2alm(hmap, nside, lmax):
+    """Harmonic coefficients a_lm of a RING-ordered HEALPix map
+    (healpy.map2alm analog, no iterative quadrature refinement).
+
+    Returns (alm_re, alm_im), each (lmax+1, lmax+1) indexed [l, m] with
+    the m > l triangle zeroed — the same positive-m real-field storage
+    :func:`alm2map` consumes, so ``alm2map(*map2alm(f))`` reproduces the
+    band-limited part of ``f`` up to HEALPix pixel-center quadrature
+    error. Same engine as :func:`anafast` (which equals
+    ``sum_m w_m |a_lm|^2 / (2l+1)`` of this output); precision/platform
+    handling as there."""
+    from contextlib import nullcontext
+    if jax.default_backend() == "cpu":
+        ctx = nullcontext()
+    else:
+        from ..utils import x64_disabled
+        ctx = x64_disabled()
+    with ctx:
+        dt = jnp.zeros(0).dtype
+        hmap = jnp.asarray(hmap).astype(dt)
+        M = 1
+        while M < 8 * nside:
+            M *= 2
+        return _anafast_core(hmap, nside, lmax, M,
+                             *_anafast_seed_consts(nside, lmax, str(dt)),
+                             want_alm=True)
+
+
+def gauss_beam(fwhm, lmax):
+    """Gaussian beam window b_l = exp(-l(l+1) sigma^2 / 2),
+    sigma = fwhm / sqrt(8 ln 2), fwhm in radians (healpy.gauss_beam)."""
+    sigma = fwhm / np.sqrt(8.0 * np.log(2.0))
+    l = jnp.arange(lmax + 1)
+    return jnp.exp(-0.5 * l * (l + 1) * sigma**2)
+
+
+def smoothing(hmap, nside, lmax, fwhm=None, beam=None):
+    """Convolve a RING-ordered map with an isotropic beam on the sphere
+    (healpy.smoothing analog): map2alm -> a_lm * b_l -> alm2map.
+
+    fwhm : Gaussian beam FWHM in radians (builds b_l via gauss_beam), or
+    beam : (lmax+1,) explicit window b_l (overrides fwhm).
+    """
+    if beam is None:
+        if fwhm is None:
+            raise ValueError("smoothing: give fwhm or beam")
+        beam = gauss_beam(fwhm, lmax)
+    beam = jnp.asarray(beam)
+    alm_re, alm_im = map2alm(hmap, nside, lmax)
+    return alm2map(alm_re * beam[:, None], alm_im * beam[:, None],
+                   nside, lmax)
 
 
 @partial(jax.jit, static_argnames=("nside", "lmax", "M"))

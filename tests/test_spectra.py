@@ -252,3 +252,124 @@ class TestSynthesis:
             acc += np.sum(wm * (ar**2 + ai**2), axis=1) \
                 / (2 * np.arange(lmax + 1) + 1)
         np.testing.assert_allclose(acc / n_draw, cl, rtol=0.15)
+
+
+class TestMap2Alm:
+    def test_roundtrip_alm2map_map2alm(self):
+        """map2alm inverts alm2map exactly for band-limited maps well
+        below the quadrature limit (lmax << 2*nside)."""
+        from baryonification_tpu.ops.spectra import alm2map, map2alm
+        nside, lmax = 32, 8
+        rng = np.random.default_rng(5)
+        L = lmax + 1
+        l = np.arange(L)[:, None]
+        m = np.arange(L)[None, :]
+        tri = (m <= l)
+        are = rng.normal(size=(L, L)) * tri
+        aim = rng.normal(size=(L, L)) * tri * (m > 0)
+        f = alm2map(jnp.asarray(are), jnp.asarray(aim), nside, lmax)
+        gre, gim = map2alm(f, nside, lmax)
+        # tolerance = HEALPix pixel-center quadrature error (no
+        # iterative refinement): measured 1.4e-3 max at this
+        # nside/lmax; shrinks as lmax/nside drops
+        np.testing.assert_allclose(np.asarray(gre), are, atol=3e-3)
+        np.testing.assert_allclose(np.asarray(gim), aim, atol=3e-3)
+
+    def test_anafast_equals_alm_sum(self):
+        """anafast(map) == sum_m w_m |map2alm(map)|^2 / (2l+1)."""
+        from baryonification_tpu.ops.spectra import map2alm
+        nside, lmax = 16, 32
+        rng = np.random.default_rng(6)
+        f = rng.normal(size=hpx.npix(nside))
+        are, aim = (np.asarray(a) for a in map2alm(f, nside, lmax))
+        w = np.full(lmax + 1, 2.0)
+        w[0] = 1.0
+        want = ((are**2 + aim**2) * w[None, :]).sum(axis=1)
+        want /= (2 * np.arange(lmax + 1) + 1)
+        got = np.asarray(anafast(f, nside, lmax))
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-18)
+
+
+class TestSmoothing:
+    def test_eigenfunction(self):
+        """A single-(l,m) harmonic map is an eigenfunction of isotropic
+        smoothing with eigenvalue b_l."""
+        from baryonification_tpu.ops.spectra import (alm2map, gauss_beam,
+                                                     smoothing)
+        nside, lmax = 16, 12
+        L = lmax + 1
+        are = np.zeros((L, L)); aim = np.zeros((L, L))
+        are[7, 3] = 1.3
+        aim[7, 3] = -0.4
+        f = np.asarray(alm2map(jnp.asarray(are), jnp.asarray(aim),
+                               nside, lmax))
+        fwhm = np.radians(5.0)
+        bl = np.asarray(gauss_beam(fwhm, lmax))
+        got = np.asarray(smoothing(f, nside, lmax, fwhm=fwhm))
+        # quadrature-limited, as in TestMap2Alm
+        np.testing.assert_allclose(got, bl[7] * f,
+                                   atol=1e-2 * np.abs(f).max() * bl[7])
+
+    def test_explicit_beam_and_errors(self):
+        from baryonification_tpu.ops.spectra import smoothing
+        # lmax well under the band limit: quadrature leakage is tiny
+        nside, lmax = 32, 8
+        f = np.ones(hpx.npix(nside))
+        # identity beam -> identity map (monopole is exact)
+        got = np.asarray(smoothing(f, nside, lmax,
+                                   beam=np.ones(lmax + 1)))
+        # l > 0 coefficients of a constant map carry quadrature leakage
+        np.testing.assert_allclose(got, f, rtol=5e-3)
+        with np.testing.assert_raises(ValueError):
+            smoothing(f, nside, lmax)
+
+    def test_gauss_beam_value(self):
+        from baryonification_tpu.ops.spectra import gauss_beam
+        fwhm = np.radians(1.0)
+        sigma = fwhm / np.sqrt(8 * np.log(2))
+        bl = np.asarray(gauss_beam(fwhm, 10))
+        assert bl[0] == 1.0
+        np.testing.assert_allclose(bl[10], np.exp(-0.5 * 110 * sigma**2),
+                                   rtol=1e-12)
+
+
+class TestUdGrade:
+    def test_degrade_constant_and_sum(self):
+        from baryonification_tpu.ops import healpix as hpx2
+        rng = np.random.default_rng(2)
+        m = rng.uniform(1, 2, hpx2.npix(32))
+        # mean-preserving by default: constant map stays constant
+        c = np.asarray(hpx2.ud_grade(np.full(hpx2.npix(32), 3.5), 8))
+        np.testing.assert_allclose(c, 3.5, rtol=1e-14)
+        # power=-2 preserves the sum
+        d = np.asarray(hpx2.ud_grade(m, 8, power=-2))
+        np.testing.assert_allclose(d.sum(), m.sum(), rtol=1e-12)
+
+    def test_upgrade_then_degrade_roundtrip(self):
+        from baryonification_tpu.ops import healpix as hpx2
+        rng = np.random.default_rng(3)
+        m = rng.normal(size=hpx2.npix(8))
+        up = np.asarray(hpx2.ud_grade(m, 32))
+        back = np.asarray(hpx2.ud_grade(up, 8))
+        np.testing.assert_allclose(back, m, rtol=1e-13)
+        # upgrade preserves the mean too (children replicate parent)
+        np.testing.assert_allclose(up.mean(), m.mean(), rtol=1e-13)
+
+    def test_degrade_children_average(self):
+        """Each degraded pixel equals the mean of its 4 NESTED children
+        (checked independently via the nest<->ring index maps)."""
+        from baryonification_tpu.ops import healpix as hpx2
+        nside = 16
+        rng = np.random.default_rng(4)
+        m = rng.normal(size=hpx2.npix(nside))
+        got = np.asarray(hpx2.ud_grade(m, nside // 2))
+        nest_in = hpx2.nest2ring(nside, np.arange(hpx2.npix(nside)))
+        nest_out = hpx2.nest2ring(nside // 2,
+                                  np.arange(hpx2.npix(nside // 2)))
+        want = m[nest_in].reshape(-1, 4).mean(axis=1)
+        np.testing.assert_allclose(got[nest_out], want, rtol=1e-14)
+
+    def test_invalid_size(self):
+        from baryonification_tpu.ops import healpix as hpx2
+        with np.testing.assert_raises(ValueError):
+            hpx2.ud_grade(np.ones(100), 4)
