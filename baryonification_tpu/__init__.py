@@ -49,13 +49,25 @@ from . import io
 from .io import (HaloLightConeCatalog, HaloNDCatalog, LightconeShell,
                  GriddedMap, ParticleSnapshot)
 from . import profiles
+# the reference's top level star-exports the Schneider19, Thermodynamic
+# and BaryonCorrection names (`BaryonForge/__init__.py` +
+# `Profiles/__init__.py`), so `bfg.DarkMatterBaryon`/`bfg.ThermalSZ`/
+# `bfg.BaryonificationClass` must work here too for drop-in migration
+from .profiles import (SchneiderProfiles, DarkMatter, TwoHalo, Stars, Gas,
+                       ShockedGas, CollisionlessMatter, DarkMatterOnly,
+                       DarkMatterBaryon, Pressure, NonThermalFrac,
+                       NonThermalFracGreen20, Temperature, ThermalSZ,
+                       ElectronPressure, GasNumberDensity, XrayLuminosity)
 from .pixels import ConvolvedProfile, GridPixelApprox, HealPixel, NoPix
-from .displacement import Baryonification2D, Baryonification3D
+from .displacement import (BaryonificationClass, Baryonification2D,
+                           Baryonification3D)
 from .tabulate import (TabulatedProfile, ParamTabulatedProfile,
                        TabulatedCorrelation3D)
 from . import runners
-from .runners import (BaryonifyShell, PaintProfilesShell, BaryonifyGrid,
-                      PaintProfilesGrid, PaintProfilesAnisGrid,
+from .runners import (DefaultRunner, BaryonifyShell, PaintProfilesShell,
+                      PaintProfilesAnisShell, DefaultRunnerGrid,
+                      BaryonifyGrid, PaintProfilesGrid,
+                      PaintProfilesAnisGrid, DefaultRunnerSnapshot,
                       BaryonifySnapshot)
 from .parallel import SimpleParallel, SplitJoinParallel
 from . import analysis

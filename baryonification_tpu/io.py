@@ -162,7 +162,12 @@ def write_healpix_fits(path, hmap, nest=False):
         card('LASTPIX', npix - 1), card('INDXSCHM', 'IMPLICIT')])
     data = hmap.astype('>f8').tobytes()
     pad = b'\x00' * ((-len(data)) % 2880)
-    with open(path, 'wb') as fh:
+    if str(path).lower().endswith('.gz'):
+        import gzip
+        opener = lambda p: gzip.open(p, 'wb')  # mirror the reader's opener
+    else:
+        opener = lambda p: open(p, 'wb')
+    with opener(path) as fh:
         fh.write(primary + header + data + pad)
 
 _COSMO_KEYS = ('Omega_m', 'sigma8', 'h', 'Omega_b', 'n_s', 'w0')

@@ -117,6 +117,18 @@ def pix2vec(nside, ipix):
     return ang2vec(theta, phi)
 
 
+def vec2pix(nside, x, y, z):
+    """Unit vector(s) -> RING pixel index (healpy.vec2pix analog)."""
+    theta, phi = vec2ang(jnp.stack(
+        [jnp.asarray(x), jnp.asarray(y), jnp.asarray(z)], axis=-1))
+    return ang2pix(nside, theta, phi)
+
+
+def nside2npix(nside):
+    """healpy-compat alias of :func:`npix`."""
+    return npix(nside)
+
+
 def ang2pix(nside, theta, phi):
     """(theta, phi) -> RING pixel index, vectorized (healpy algorithm)."""
     n = nside
@@ -774,6 +786,11 @@ def ud_grade(hmap, nside_out, power=0.0):
     (temperature-like maps). Bad-pixel (UNSEEN) handling is not
     implemented."""
     hmap = jnp.asarray(hmap)
+    if not jnp.issubdtype(hmap.dtype, jnp.floating):
+        # degrade averages children: an integer output dtype would
+        # truncate them (and int-target .at[].set(float) is a future
+        # JAX error); healpy returns float maps here too
+        hmap = hmap.astype(jnp.promote_types(hmap.dtype, jnp.float32))
     npix_in = hmap.shape[-1]
     nside_in = int(round(np.sqrt(npix_in / 12)))
     if 12 * nside_in**2 != npix_in:

@@ -31,6 +31,7 @@ Replaces the reference's notebook-side diagnostics:
   spectra practical on one chip.
 """
 
+from contextlib import contextmanager, nullcontext
 from functools import lru_cache, partial
 
 import numpy as np
@@ -351,6 +352,29 @@ def _anafast_core(hmap, nside, lmax, M, z_d, start_d, npr_d, shift_d,
     return out / (2.0 * ell + 1.0)
 
 
+@contextmanager
+def _sht_precision_ctx():
+    """Shared precision/backing dispatch for the SHT wrappers (anafast /
+    map2alm / alm2map): f64 on CPU (package-global x64 mode), f32 on
+    accelerators (traced under ``x64_disabled`` — TPU FFT has no c128
+    path). Yields (active float dtype, nside -> Bluestein length M:
+    the smallest power of two >= 2 * maxn = 8 * nside)."""
+    if jax.default_backend() == "cpu":
+        ctx = nullcontext()
+    else:
+        from ..utils import x64_disabled
+        ctx = x64_disabled()
+
+    def M_of(nside):
+        M = 1
+        while M < 8 * nside:
+            M *= 2
+        return M
+
+    with ctx:
+        yield jnp.zeros(0).dtype, M_of
+
+
 def anafast(hmap, nside, lmax):
     """Angular power spectrum C_ell of a RING-ordered HEALPix map —
     the ring-FFT production path (see module docstring). Matches
@@ -362,19 +386,9 @@ def anafast(hmap, nside, lmax):
     accelerators (traced under ``x64_disabled`` — TPU FFT has no c128
     path) — seeds are always precomputed in f64 on the host.
     """
-    from contextlib import nullcontext
-    if jax.default_backend() == "cpu":
-        ctx = nullcontext()
-    else:
-        from ..utils import x64_disabled
-        ctx = x64_disabled()
-    with ctx:
-        dt = jnp.zeros(0).dtype      # reflects the active x64 mode
+    with _sht_precision_ctx() as (dt, M_of):
         hmap = jnp.asarray(hmap).astype(dt)
-        M = 1
-        while M < 8 * nside:
-            M *= 2
-        return _anafast_core(hmap, nside, lmax, M,
+        return _anafast_core(hmap, nside, lmax, M_of(nside),
                              *_anafast_seed_consts(nside, lmax, str(dt)))
 
 
@@ -389,19 +403,9 @@ def map2alm(hmap, nside, lmax):
     error. Same engine as :func:`anafast` (which equals
     ``sum_m w_m |a_lm|^2 / (2l+1)`` of this output); precision/platform
     handling as there."""
-    from contextlib import nullcontext
-    if jax.default_backend() == "cpu":
-        ctx = nullcontext()
-    else:
-        from ..utils import x64_disabled
-        ctx = x64_disabled()
-    with ctx:
-        dt = jnp.zeros(0).dtype
+    with _sht_precision_ctx() as (dt, M_of):
         hmap = jnp.asarray(hmap).astype(dt)
-        M = 1
-        while M < 8 * nside:
-            M *= 2
-        return _anafast_core(hmap, nside, lmax, M,
+        return _anafast_core(hmap, nside, lmax, M_of(nside),
                              *_anafast_seed_consts(nside, lmax, str(dt)),
                              want_alm=True)
 
@@ -519,19 +523,9 @@ def alm2map(alm_re, alm_im, nside, lmax):
     field, scipy `sph_harm_y`-anchored), so
     anafast(alm2map(a)) == sum_m w_m |a_lm|^2 / (2l+1) up to HEALPix
     quadrature error. Precision/platform handling as in anafast."""
-    from contextlib import nullcontext
-    if jax.default_backend() == "cpu":
-        ctx = nullcontext()
-    else:
-        from ..utils import x64_disabled
-        ctx = x64_disabled()
-    with ctx:
-        dt = jnp.zeros(0).dtype
-        M = 1
-        while M < 8 * nside:
-            M *= 2
+    with _sht_precision_ctx() as (dt, M_of):
         return _alm2map_core(jnp.asarray(alm_re), jnp.asarray(alm_im),
-                             nside, lmax, M,
+                             nside, lmax, M_of(nside),
                              *_anafast_seed_consts(nside, lmax, str(dt)))
 
 

@@ -136,6 +136,18 @@ def mesh_shard_halos(mesh, axis, halo_arrays):
         halo_arrays)
 
 
+def cell_chunk(ncell, F, target=1 << 18):
+    """Single-device chunk policy: cells per `lax.map` step — the largest
+    power of two with ``C_blk * F <= target`` that divides ``ncell``
+    exactly. One definition shared by the grid and snapshot cell-major
+    runners (the mesh path uses :func:`pad_cells_for_mesh`, which pads
+    instead of requiring divisibility)."""
+    c = 1
+    while c * 2 * F <= target and ncell % (c * 2) == 0:
+        c *= 2
+    return c
+
+
 def pad_cells_for_mesh(ncell, n_dev, F, target=1 << 18):
     """Pad the cell/block axis so it splits evenly over ``n_dev`` devices
     in whole chunks.

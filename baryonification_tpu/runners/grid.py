@@ -292,10 +292,8 @@ class DefaultRunnerGrid:
 
     def _grid_cell_chunk(self, ncell, F, target=1 << 18):
         """Blocks per lax.map step: must divide ncell exactly."""
-        c = 1
-        while c * 2 * F <= target and ncell % (c * 2) == 0:
-            c *= 2
-        return c
+        from ..parallel import cell_chunk
+        return cell_chunk(ncell, F, target)
 
     def _windowed_offsets(self, gm, a, arrs, R_com, Nsize, idx_all,
                           use_rdelta, grids_d, table_d, dt, offsets):
@@ -349,22 +347,40 @@ class DefaultRunnerGrid:
                 jnp.asarray(pad(arrs['props'][idx]), dtype=dt), new_map)
         return new_map
 
+    def _cic_coords(self, N, dim, dt):
+        """Row-major integer pixel-coordinate planes as device arrays,
+        cached per (N, dim, dtype) — rebuilding the np.divmod planes
+        host-side costs ~hundreds of MB of allocation + a re-upload per
+        call (and per gradient step through process_device)."""
+        cache = getattr(self, '_ccoord_cache', None)
+        if cache is None:
+            cache = {}
+            self._ccoord_cache = cache
+        key = (N, dim, jnp.dtype(dt).name)
+        if key not in cache:
+            if dim == 2:
+                ix, iy = np.divmod(np.arange(N * N), N)
+                planes = (ix, iy)
+            else:
+                ixy, iz = np.divmod(np.arange(N ** 3), N)
+                ix, iy = np.divmod(ixy, N)
+                planes = (ix, iy, iz)
+            cache[key] = tuple(jnp.asarray(p, dtype=dt) for p in planes)
+        return cache[key]
+
     def _cic_offsets(self, gm, offsets_d, orig_map, dt):
         """CIC redeposit of the original map at displaced positions
         (device array in, device array out; differentiable)."""
         N = gm.Npix
         vals = jnp.asarray(orig_map.reshape(-1), dtype=dt)
         if gm.is2D:
-            ix, iy = np.divmod(np.arange(N * N), N)
+            ix, iy = self._cic_coords(N, 2, dt)
             return cic_deposit_2d(
-                N, offsets_d[0] + jnp.asarray(ix, dtype=dt),
-                offsets_d[1] + jnp.asarray(iy, dtype=dt), vals, dtype=dt)
-        ixy, iz = np.divmod(np.arange(N ** 3), N)
-        ix, iy = np.divmod(ixy, N)
+                N, offsets_d[0] + ix, offsets_d[1] + iy, vals, dtype=dt)
+        ix, iy, iz = self._cic_coords(N, 3, dt)
         return cic_deposit_3d(
-            N, offsets_d[0] + jnp.asarray(ix, dtype=dt),
-            offsets_d[1] + jnp.asarray(iy, dtype=dt),
-            offsets_d[2] + jnp.asarray(iz, dtype=dt), vals, dtype=dt)
+            N, offsets_d[0] + ix, offsets_d[1] + iy, offsets_d[2] + iz,
+            vals, dtype=dt)
 
     def _grid_inv_perm(self, N, B):
         """Row-major voxel/pixel id -> block-major position (for

@@ -432,10 +432,8 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
             g2_np = np.asarray(model._grids[2])
             zeros = jnp.zeros((ncell * P_pad,), dtype=dt)
             off_pad = (zeros, zeros, zeros)
-            C_blk = 1
-            while (C_blk * 2 * P_pad <= (1 << 18)
-                   and ncell % (C_blk * 2) == 0):
-                C_blk *= 2
+            from ..parallel import cell_chunk
+            C_blk = cell_chunk(ncell, P_pad)
             order = np.argsort(R_q)
             for bi, idx in enumerate(
                     [s for s in np.array_split(order, self.n_buckets)
@@ -519,11 +517,8 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
             zeros = put(jnp.zeros((ncell_pad * P_pad,), dtype=dt))
             off_pad = (zeros, zeros, zeros)
             if self.mesh is None:
-                C_blk = 1
-                target = 1 << 18
-                while (C_blk * 2 * P_pad <= target
-                       and ncell % (C_blk * 2) == 0):
-                    C_blk *= 2
+                from ..parallel import cell_chunk
+                C_blk = cell_chunk(ncell, P_pad)
             if bool(inb_z):
                 order = np.argsort(R_q)
                 for bi, idx in enumerate(

@@ -117,17 +117,24 @@ def tsz_model(nside):
     return tab
 
 
+def _sync(out):
+    """Device sync: block_until_ready is not a barrier on axon, so force a
+    host reduction. Snapshot runners return a numpy structured array
+    (fields M/x/y/z), which has no .sum() ufunc loop — sum a field."""
+    arr = np.asarray(out)
+    if arr.dtype.names:
+        arr = arr[arr.dtype.names[-1]]
+    return float(np.sum(arr))
+
+
 def run(runner, tag, n_steady=2):
     t0 = time.time()
-    out = runner.process()
-    # device sync: block_until_ready is not a barrier on axon
-    _ = float(np.asarray(out).sum())
+    _ = _sync(runner.process())
     warm = time.time() - t0
     ts = []
     for _i in range(n_steady):
         t0 = time.time()
-        out = runner.process()
-        _ = float(np.asarray(out).sum())
+        _ = _sync(runner.process())
         ts.append(time.time() - t0)
     print(f"{tag}: warm {warm:.1f}s steady {min(ts):.2f}s")
 

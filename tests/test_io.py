@@ -91,6 +91,17 @@ class TestHealpixFits:
         pz.write_bytes(gzip.compress(p.read_bytes()))
         np.testing.assert_array_equal(read_healpix_fits(pz), m)
 
+    def test_gzip_write_roundtrip(self, tmp_path):
+        """write_healpix_fits must honor a .gz suffix (the reader
+        gzip-opens by suffix, so a raw-bytes write would not read back)."""
+        nside = 8
+        rng = np.random.default_rng(7)
+        m = rng.normal(size=hpx.npix(nside))
+        pz = tmp_path / "map.fits.gz"
+        write_healpix_fits(pz, m)
+        assert pz.read_bytes()[:2] == b"\x1f\x8b"  # gzip magic
+        np.testing.assert_array_equal(read_healpix_fits(pz), m)
+
     def test_lightcone_shell_path(self, tmp_path):
         nside = 8
         rng = np.random.default_rng(11)

@@ -373,3 +373,13 @@ class TestUdGrade:
         from baryonification_tpu.ops import healpix as hpx2
         with np.testing.assert_raises(ValueError):
             hpx2.ud_grade(np.ones(100), 4)
+
+    def test_integer_map_promotes(self):
+        """Degrading an int map must not truncate the child averages
+        (healpy returns float maps here too)."""
+        from baryonification_tpu.ops import healpix as hpx2
+        m = np.arange(hpx2.npix(16), dtype=np.int32)
+        got = np.asarray(hpx2.ud_grade(m, 8))
+        assert np.issubdtype(got.dtype, np.floating)
+        want = np.asarray(hpx2.ud_grade(m.astype(np.float64), 8))
+        np.testing.assert_allclose(got, want, rtol=1e-14)
