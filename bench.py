@@ -134,7 +134,7 @@ def main():
 
     # timed steady-state runs (min over repeats: the host<->device tunnel
     # adds +/- 1-2 s of transfer jitter per run)
-    n_runs = int(os.environ.get("BENCH_NRUNS", 3))
+    n_runs = int(os.environ.get("BENCH_NRUNS", 5))
     times = []
     for i in range(n_runs):
         t0 = time.time()
@@ -157,6 +157,12 @@ def main():
         "unit": "s",
         "vs_baseline": round(10.0 / dt, 3),
         "n_runs": n_runs,
+        # device compute alone (pass + regrid, synced) — the steady value
+        # additionally carries the 50 MB host fetch, which is pure remote-
+        # tunnel bandwidth (~0 on a local TPU host) and swings 2-6 s with
+        # tunnel congestion
+        "device_compute_s": round(stages.get("pass", 0.0)
+                                  + stages.get("regrid", 0.0), 3),
         "steady_runs_s": [round(t, 3) for t in times],
         "warmup_s": round(warmup_s, 1),
         "device_init_s": round(device_init_s, 1),
