@@ -44,13 +44,16 @@ __all__ = ['DefaultRunner', 'BaryonifyShell', 'PaintProfilesShell',
 
 
 @jax.jit
-def _pack_from_angles(theta, phi, D, a, R_com, M):
-    """Fused build of the cell-major packed halo records."""
+def _pack_from_angles(theta, phi, D, a, R_com, M, props):
+    """Fused build of the cell-major packed halo records (``props`` is
+    the (H, n_props) extra-table-axis coordinate matrix, possibly
+    zero-width)."""
     from .shell_cellmajor import pack_halo_records
     st = jnp.sin(theta)
     return pack_halo_records(st * jnp.cos(phi), st * jnp.sin(phi),
                              jnp.cos(theta), D, a, R_com,
-                             jnp.log(R_com), jnp.log(1.0 / a), jnp.log(M))
+                             jnp.log(R_com), jnp.log(1.0 / a), jnp.log(M),
+                             props=props)
 
 
 def _bucket_edges(radii, n_buckets):
@@ -163,15 +166,35 @@ class DefaultRunner:
                          else "float32")
         self.dtype = jnp.dtype(precision)
         # 'cellmajor' = NESTED-order dense pass, per-slot data built by
-        # matmuls + one packed row gather (TPU speed-of-light path);
+        # matmuls + one packed row gather (TPU speed-of-light path;
+        # extra table axes / per-halo property columns ride in the
+        # packed records — up to shell_cellmajor.MAX_PROPS of them);
         # 'gather' = pixel-major dense pass (per-pixel gathers — slower
         # on TPU, kept for cross-checks); 'scatter' = halo-major windows
         # + Pallas/XLA scatter (exact reference-loop semantics incl. the
         # <4-pixel fallback). auto: cellmajor on accelerators, scatter
         # on CPU.
+        from .shell_cellmajor import MAX_PROPS
+        n_props = len(getattr(model, 'p_keys', []) or [])
+        cm_ok = n_props <= MAX_PROPS
         if method == "auto":
-            method = ("scatter" if jax.default_backend() == "cpu"
-                      else "cellmajor")
+            if jax.default_backend() == "cpu":
+                method = "scatter"
+            elif cm_ok:
+                method = "cellmajor"
+            else:
+                import warnings
+                warnings.warn(
+                    f"model has {n_props} extra parameter axes; the "
+                    f"cell-major fast path supports at most {MAX_PROPS} "
+                    f"— falling back to the windowed 'scatter' method "
+                    f"(expect a ~10-70x slowdown on accelerators)")
+                method = "scatter"
+        if method == "cellmajor" and not cm_ok:
+            raise ValueError(
+                f"method='cellmajor' supports at most {MAX_PROPS} extra "
+                f"parameter axes (packed-record columns); the model has "
+                f"{n_props}. Use method='scatter'.")
         self.method = method
         if use_ellipticity:
             raise NotImplementedError(
@@ -454,7 +477,8 @@ class DefaultRunner:
             a = jnp.asarray(arrs['a'], dtype=dt)
             Rc = jnp.asarray(arrs['R_com'], dtype=dt)
             Mh = jnp.asarray(arrs['M'], dtype=dt)
-            packed = _pack_from_angles(theta, phi, D, a, Rc, Mh)
+            props = jnp.asarray(arrs['props'], dtype=dt)
+            packed = _pack_from_angles(theta, phi, D, a, Rc, Mh, props)
             float(jnp.sum(packed[:, 0]))    # hard barrier
             cache[key] = packed
         return cache[key]
@@ -883,7 +907,8 @@ class BaryonifyShell(DefaultRunner):
                             self.mesh, self.mesh_axis, use_rdelta, F,
                             C_blk, n_hi, (vxn, vyn, vzn), dense2d, counts,
                             packed_all[jidx], grids[0], grids[1], table,
-                            grids[2], float(self.epsilon_max), off_nested)
+                            grids[2], float(self.epsilon_max), off_nested,
+                            gprops=grids[3:])
                         continue
                     t0 = self._stage_t0()
                     dense, counts, K, nsc_eff = self._dense_candidates(
@@ -902,7 +927,8 @@ class BaryonifyShell(DefaultRunner):
                         use_rdelta, F, C_blk, n_hi, vxn, vyn, vzn,
                         dense, counts, packed_all[jidx],
                         grids[0], grids[1], table, grids[2],
-                        float(self.epsilon_max), *off_nested)
+                        float(self.epsilon_max), *off_nested,
+                        gprops=grids[3:])
                     self._stage(f"pass[b{bi} nc{nsc_eff} K{K} "
                                 f"n_hi{n_hi}]", t0, off_nested[0])
             groups = ([] if self.method == "cellmajor"
@@ -1001,10 +1027,17 @@ class BaryonifyShell(DefaultRunner):
         table. The reference's scipy/numba pipeline has no analog of
         this capability. Intended for fitting/MCMC loops; parameter
         sweeps re-use all staged geometry across calls.
+
+        With ``mesh=`` the same differentiable pipeline runs SHARDED
+        over coarse cells: the offset passes are embarrassingly
+        parallel, the regrid's psum join has a transpose rule, and the
+        slot loops run with static trip counts — so ``jax.grad`` of a
+        scalar of the returned map w.r.t. the table (and through
+        ``build_table_device`` on into physical baryon parameters) is
+        exact on a multi-chip mesh: differentiable end-to-end at
+        scales beyond single-chip HBM. The reference cannot express
+        either capability.
         """
-        assert self.mesh is None, (
-            "process_device is the single-device differentiable core; "
-            "use process() for mesh execution")
         assert self.method in ("auto", "cellmajor"), (
             "process_device supports only the cell-major formulation")
         cosmo = Cosmology.from_dict(self.cosmo)
@@ -1019,22 +1052,50 @@ class BaryonifyShell(DefaultRunner):
         table = jnp.asarray(table).astype(dt)
         grids = tuple(g.astype(dt) for g in model._grids)
         tables, _ = self._ring_tables(nside, dt)
+        n_dev = self._n_mesh_devices
         hot_ctx = (x64_disabled() if dt == jnp.dtype('float32')
                    else nullcontext())
         with hot_ctx:
             from . import shell_cellmajor as cm
             zeros = jnp.zeros((hpx.npix(nside),), dtype=dt)
             packed_all = self._packed_records(arrs, dt)
-            vxn, vyn, vzn = self._pixels_nested(nside, dt)
-            off_nested = (zeros, zeros, zeros)
+            if self.mesh is not None:
+                from ..parallel import (mesh_offsets_bucket,
+                                        mesh_regrid_shell,
+                                        min_coarse_nside)
+                nsc_min = min_coarse_nside(n_dev)
+                assert nsc_min <= nside, (
+                    f"nside={nside} too small to shard over {n_dev} "
+                    f"devices (needs nside >= {nsc_min})")
+                vxn, vyn, vzn = self._pixels_nested_sharded(nside, dt)
+                sh = self._pixel_sharding()
+                off_nested = tuple(jax.device_put(z, sh)
+                                   for z in (zeros, zeros, zeros))
+            else:
+                nsc_min = 1
+                vxn, vyn, vzn = self._pixels_nested(nside, dt)
+                off_nested = (zeros, zeros, zeros)
             g2 = np.asarray(model._grids[2])
             for bi, (nside_c, idx, jidx, r_b, rcm_max) in enumerate(
-                    self._cm_groups(arrs, nside, 1)):
+                    self._cm_groups(arrs, nside, nsc_min)):
                 lazy_sub = lambda idx=idx: {k: v[idx]
                                             for k, v in arrs.items()}
                 rad_max = (np.log(self.epsilon_max) if use_rdelta
                            else np.log(self.epsilon_max * rcm_max))
                 n_hi = self._node_bound(g2, rad_max, len(g2))
+                if self.mesh is not None:
+                    (dense2d, counts, K,
+                     nsc_eff) = self._dense_candidates_sharded(
+                        bi, nside_c, lazy_sub, dt, r_b)
+                    F = (nside // nsc_eff) ** 2
+                    C_blk = self._cell_chunk(nsc_eff, F, n_dev=n_dev)
+                    off_nested = mesh_offsets_bucket(
+                        self.mesh, self.mesh_axis, use_rdelta, F,
+                        C_blk, n_hi, (vxn, vyn, vzn), dense2d, counts,
+                        packed_all[jidx], grids[0], grids[1], table,
+                        grids[2], float(self.epsilon_max), off_nested,
+                        gprops=grids[3:], k_static=max(int(K), 1))
+                    continue
                 dense, counts, K, nsc_eff = self._dense_candidates(
                     bi, nside_c, lazy_sub, dt, r_b)
                 F = (nside // nsc_eff) ** 2
@@ -1044,11 +1105,17 @@ class BaryonifyShell(DefaultRunner):
                     dense, counts, packed_all[jidx],
                     grids[0], grids[1], table, grids[2],
                     float(self.epsilon_max), *off_nested,
-                    k_static=max(int(K), 1))
+                    k_static=max(int(K), 1), gprops=grids[3:])
             n2r, _ = self._nested_maps(nside)
             omap_n = self._orig_map_nested(orig_map, n2r, dt)
-            new_map = _regrid_shell(nside, tables, vxn, vyn, vzn,
-                                    omap_n, off_nested)
+            if self.mesh is not None:
+                omap_n = jax.device_put(omap_n, self._pixel_sharding())
+                new_map = mesh_regrid_shell(
+                    self.mesh, self.mesh_axis, nside,
+                    (vxn, vyn, vzn), omap_n, off_nested)
+            else:
+                new_map = _regrid_shell(nside, tables, vxn, vyn, vzn,
+                                        omap_n, off_nested)
         return new_map
 
 
@@ -1148,7 +1215,8 @@ class PaintProfilesShell(DefaultRunner):
                             self.mesh, self.mesh_axis, F, C_blk, n_hi,
                             (vxn, vyn, vzn), dense2d, counts,
                             packed_all[jidx], grids[0], grids[1], table,
-                            grids[2], float(self.epsilon_max), map_nested)
+                            grids[2], float(self.epsilon_max), map_nested,
+                            gprops=grids[3:])
                         continue
                     t0 = self._stage_t0()
                     dense, counts, K, nsc_eff = self._dense_candidates(
@@ -1166,7 +1234,8 @@ class PaintProfilesShell(DefaultRunner):
                     map_nested = cm.cellmajor_paint_pass(
                         F, C_blk, n_hi, vxn, vyn, vzn, dense, counts,
                         packed_all[jidx], grids[0], grids[1], table,
-                        grids[2], float(self.epsilon_max), map_nested)
+                        grids[2], float(self.epsilon_max), map_nested,
+                        gprops=grids[3:])
                     self._stage(f"pass[b{bi} nc{nsc_eff} K{K} "
                                 f"n_hi{n_hi}]", t0, map_nested)
             groups = ([] if self.method == "cellmajor"
@@ -1235,10 +1304,10 @@ class PaintProfilesShell(DefaultRunner):
         the map back into the table — and into physical profile
         parameters via ``TabulatedProfile.build_tables_device`` (e.g.
         gas-pressure parameters from a painted tSZ map). Geometry is
-        staged from the runner caches and constant."""
-        assert self.mesh is None, (
-            "process_device is the single-device differentiable core; "
-            "use process() for mesh execution")
+        staged from the runner caches and constant. With ``mesh=`` the
+        pipeline runs sharded over coarse cells (painting is purely
+        local per device) and stays differentiable — see
+        ``BaryonifyShell.process_device``."""
         assert self.method in ("auto", "cellmajor"), (
             "process_device supports only the cell-major formulation")
         cosmo = Cosmology.from_dict(self.cosmo)
@@ -1251,20 +1320,46 @@ class PaintProfilesShell(DefaultRunner):
         dt = self.dtype
         table = jnp.asarray(table).astype(dt)
         grids = tuple(g.astype(dt) for g in model._grids)
+        n_dev = self._n_mesh_devices
         hot_ctx = (x64_disabled() if dt == jnp.dtype('float32')
                    else nullcontext())
         with hot_ctx:
             from . import shell_cellmajor as cm
             packed_all = self._packed_records(arrs, dt)
-            vxn, vyn, vzn = self._pixels_nested(nside, dt)
-            map_nested = jnp.zeros((hpx.npix(nside),), dtype=dt)
+            if self.mesh is not None:
+                from ..parallel import mesh_paint_bucket, min_coarse_nside
+                nsc_min = min_coarse_nside(n_dev)
+                assert nsc_min <= nside, (
+                    f"nside={nside} too small to shard over {n_dev} "
+                    f"devices (needs nside >= {nsc_min})")
+                vxn, vyn, vzn = self._pixels_nested_sharded(nside, dt)
+                map_nested = jax.device_put(
+                    jnp.zeros((hpx.npix(nside),), dtype=dt),
+                    self._pixel_sharding())
+            else:
+                nsc_min = 1
+                vxn, vyn, vzn = self._pixels_nested(nside, dt)
+                map_nested = jnp.zeros((hpx.npix(nside),), dtype=dt)
             g2 = np.asarray(model._grids[2])
             for bi, (nside_c, idx, jidx, r_b, rcm_max) in enumerate(
-                    self._cm_groups(arrs, nside, 1)):
+                    self._cm_groups(arrs, nside, nsc_min)):
                 lazy_sub = lambda idx=idx: {k: v[idx]
                                             for k, v in arrs.items()}
                 rad_max = np.log(self.epsilon_max * rcm_max)
                 n_hi = self._node_bound(g2, rad_max, len(g2))
+                if self.mesh is not None:
+                    (dense2d, counts, K,
+                     nsc_eff) = self._dense_candidates_sharded(
+                        bi, nside_c, lazy_sub, dt, r_b)
+                    F = (nside // nsc_eff) ** 2
+                    C_blk = self._cell_chunk(nsc_eff, F, n_dev=n_dev)
+                    map_nested = mesh_paint_bucket(
+                        self.mesh, self.mesh_axis, F, C_blk, n_hi,
+                        (vxn, vyn, vzn), dense2d, counts,
+                        packed_all[jidx], grids[0], grids[1], table,
+                        grids[2], float(self.epsilon_max), map_nested,
+                        gprops=grids[3:], k_static=max(int(K), 1))
+                    continue
                 dense, counts, K, nsc_eff = self._dense_candidates(
                     bi, nside_c, lazy_sub, dt, r_b)
                 F = (nside // nsc_eff) ** 2
@@ -1273,8 +1368,10 @@ class PaintProfilesShell(DefaultRunner):
                     F, C_blk, n_hi, vxn, vyn, vzn, dense, counts,
                     packed_all[jidx], grids[0], grids[1], table,
                     grids[2], float(self.epsilon_max), map_nested,
-                    k_static=max(int(K), 1))
+                    k_static=max(int(K), 1), gprops=grids[3:])
             _, r2n = self._nested_maps(nside)
+            # nested -> ring gather; on a sharded map GSPMD inserts the
+            # cross-shard collective (differentiable either way)
             out = map_nested[r2n]
         return out
 

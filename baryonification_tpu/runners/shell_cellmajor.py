@@ -30,17 +30,31 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["pack_halo_records", "dense_cell_candidates",
-           "refine_cell_candidates",
-           "cellmajor_offsets_pass", "cellmajor_paint_pass"]
+           "refine_cell_candidates", "axis_weights",
+           "table_readout_layout", "combined_axis_weights",
+           "cellmajor_offsets_pass", "cellmajor_paint_pass",
+           "PROP_COL0", "MAX_PROPS"]
 
 
-def pack_halo_records(v0x, v0y, v0z, D, a, R_com, lnR, ln1pz, lnM):
+PROP_COL0 = 9          # first packed-record column holding a prop value
+MAX_PROPS = 16 - PROP_COL0   # extra scalar table axes per halo record
+
+
+def pack_halo_records(v0x, v0y, v0z, D, a, R_com, lnR, ln1pz, lnM,
+                      props=None):
     """(H, 16) packed per-halo record — one row gather per slot fetches
-    everything the kernel needs (columns 9..15 are padding to a lane-
-    friendly width)."""
+    everything the kernel needs. Columns 9..15 carry the per-halo extra
+    table-axis coordinates (the ParamTabulatedProfile contract,
+    reference `HealpixRunner.py:284-287,321`) — up to MAX_PROPS of them;
+    unused columns are padding to a lane-friendly width."""
     H = v0x.shape[0]
     dt = v0x.dtype
     cols = [v0x, v0y, v0z, D, a, R_com, lnR, ln1pz, lnM]
+    if props is not None and props.shape[1]:
+        assert props.shape[1] <= MAX_PROPS, (
+            f"at most {MAX_PROPS} extra parameter axes fit the packed "
+            f"records; got {props.shape[1]}")
+        cols += [props[:, j] for j in range(props.shape[1])]
     out = jnp.stack(cols + [jnp.zeros((H,), dt)] * (16 - len(cols)),
                     axis=-1)
     return out
@@ -130,44 +144,77 @@ def refine_cell_candidates(nc_child, dense_parent, counts_parent,
     return hid_s, counts_child, jnp.max(counts_child)
 
 
-def _blend_rows(packed_k, gz, gM, base_table):
-    """Rebuild the (C,) slots' radial profile rows A (C, Nr) from the
-    base (Nz, NM, Nr) table by one-hot bilinear matmuls (identical
-    arithmetic to ops.interp.blend_table_radial; NaN -> masked later via
-    the in-bounds flags)."""
+def axis_weights(g, c):
+    """One-hot linear-interp weight matrix for scalar coords ``c`` (C,)
+    on grid ``g``: W (C, len(g)) with the two bracketing-node weights,
+    plus the in-bounds flag. Gather-free: searchsorted and g[i] lower to
+    per-lane gathers on TPU (~10 ns each); a broadcast compare + one-hot
+    dot against the tiny grid is pure vector work."""
+    ge = (c[:, None] >= g[None, :])
+    i = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=1) - 1, 0,
+                 g.shape[0] - 2)
+    n = jnp.arange(g.shape[0], dtype=jnp.int32)
+    eq0 = (n[None, :] == i[:, None])
+    eq1 = (n[None, :] == i[:, None] + 1)
+    g_i = jnp.sum(jnp.where(eq0, g[None, :], 0.0), axis=1)
+    g_i1 = jnp.sum(jnp.where(eq1, g[None, :], 0.0), axis=1)
+    t = (c - g_i) / (g_i1 - g_i)
+    W = (jnp.where(eq0, (1.0 - t)[:, None], 0.0)
+         + jnp.where(eq1, t[:, None], 0.0))
+    inb = (c >= g[0]) & (c <= g[-1])
+    return W.astype(g.dtype), inb
+
+
+def table_readout_layout(base_table):
+    """(Nz, NM, Nr, P1, ..., Pk) table -> (Nz, Nr, NM * P1 * ... * Pk)
+    readout layout: the radial axis becomes the matmul ROW axis (so the
+    hat/segment readout's per-node slices are cheap sublane slices of
+    the blended (Nr, C) result), and the mass + extra-param axes merge
+    into ONE contraction axis so the per-slot blend stays a single
+    matmul chain regardless of how many axes the table carries. Done
+    once per pass (a real relayout), not per slot."""
+    nd = base_table.ndim
+    t = jnp.transpose(base_table, (0, 2, 1) + tuple(range(3, nd)))
+    return t.reshape(t.shape[0], t.shape[1], -1)
+
+
+def combined_axis_weights(WM, packed_k, gprops, p_col0):
+    """Merge the mass-axis one-hot weights with one one-hot weight
+    matrix per extra table axis (prop j's per-halo coordinate rides in
+    packed column ``p_col0 + j``) into V_T (NM * prod(P), C) — the
+    contraction operand matching :func:`table_readout_layout`'s merged
+    axis (C-order: index = ((m * P1 + p1) * P2 + p2) ...)."""
+    C = packed_k.shape[0]
+    V_T = WM.T
+    inb = True
+    for j, gp in enumerate(gprops):
+        Wp, inb_p = axis_weights(gp, packed_k[:, p_col0 + j])
+        inb = inb & inb_p
+        V_T = (V_T[:, None, :] * Wp.T[None, :, :]).reshape(-1, C)
+    return V_T, inb
+
+
+def _blend_rows(packed_k, gz, gM, base2, gprops=()):
+    """Rebuild the (C,) slots' radial profile rows A_T (Nr, C) from the
+    readout-layout table (see table_readout_layout) by one-hot
+    multilinear matmuls (identical arithmetic to
+    ops.interp.blend_table_radial over every non-radial axis; NaN ->
+    masked later via the in-bounds flags)."""
     ln1pz = packed_k[:, 7]
     lnM = packed_k[:, 8]
 
-    def axis_w(g, c):
-        # gather-free: searchsorted and g[i] lower to per-lane gathers on
-        # TPU (~10 ns each); a broadcast compare + one-hot dot against the
-        # tiny grid is pure vector work
-        ge = (c[:, None] >= g[None, :])
-        i = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=1) - 1, 0,
-                     g.shape[0] - 2)
-        n = jnp.arange(g.shape[0], dtype=jnp.int32)
-        eq0 = (n[None, :] == i[:, None])
-        eq1 = (n[None, :] == i[:, None] + 1)
-        g_i = jnp.sum(jnp.where(eq0, g[None, :], 0.0), axis=1)
-        g_i1 = jnp.sum(jnp.where(eq1, g[None, :], 0.0), axis=1)
-        t = (c - g_i) / (g_i1 - g_i)
-        W = (jnp.where(eq0, (1.0 - t)[:, None], 0.0)
-             + jnp.where(eq1, t[:, None], 0.0))
-        inb = (c >= g[0]) & (c <= g[-1])
-        return W.astype(g.dtype), inb
-
-    Wz, inb_z = axis_w(gz, ln1pz)
-    WM, inb_M = axis_w(gM, lnM)
+    Wz, inb_z = axis_weights(gz, ln1pz)
+    WM, inb_M = axis_weights(gM, lnM)
+    V_T, inb_p = combined_axis_weights(WM, packed_k, gprops, PROP_COL0)
     # build TRANSPOSED (Nr, C): the hat-readout loop slices one node row
     # per step, which is a cheap sublane slice in this layout (a lane
     # slice of (C, Nr) is strided and relayouts every iteration)
     C = packed_k.shape[0]
-    Nr = base_table.shape[2]
-    A_T = jnp.zeros((Nr, C), dtype=base_table.dtype)
-    WMT = WM.T
+    Nr = base2.shape[1]
+    A_T = jnp.zeros((Nr, C), dtype=base2.dtype)
     for z in range(gz.shape[0]):
-        A_T = A_T + base_table[z].T @ (WMT * Wz[:, z][None, :])
-    return A_T, (inb_z & inb_M)
+        A_T = A_T + base2[z] @ (V_T * Wz[:, z][None, :])
+    return A_T, (inb_z & inb_M & inb_p)
 
 
 def _hat_readout(A_T, t, n_lo, n_hi):
@@ -208,13 +255,16 @@ def _segment_readout(A_T, t, n_lo, n_hi):
 def cellmajor_offsets_pass(use_rdelta, F, C_blk, n_hi,
                            pix_x, pix_y, pix_z, hid_dense, counts,
                            packed, gz, gM, base_table, lnr_grid,
-                           eps_max, ox, oy, oz, k_static=None):
+                           eps_max, ox, oy, oz, k_static=None,
+                           gprops=()):
     """One bucket's displacement pass over all pixels in NESTED order.
 
     pix_* : (npix,) nested-order pixel unit-vector planes
     hid_dense : (ncell * K_pad,) dense candidate halo ids (int32)
     counts : (ncell,) candidates per cell
     packed : (H, 16) pack_halo_records output
+    gprops : extra table-axis grids (table axes 3..) — per-halo
+             coordinates ride in the packed records (cols 9..)
     n_hi : static node bound — nodes >= n_hi are unreachable for this
            bucket (r <= eps_max * R_max), so the hat loop skips them
     The slot loop bound is the chunk-local max count: NESTED chunks are
@@ -228,7 +278,6 @@ def cellmajor_offsets_pass(use_rdelta, F, C_blk, n_hi,
     npix = pix_x.shape[0]
     ncell = counts.shape[0]
     K_pad = hid_dense.shape[0] // ncell
-    Nr = base_table.shape[2]
     n_chunks = ncell // C_blk
     dt = ox.dtype
     g0 = lnr_grid[0]
@@ -236,6 +285,7 @@ def cellmajor_offsets_pass(use_rdelta, F, C_blk, n_hi,
     # sanitize once: a non-finite table node would poison the one-hot
     # matmuls (0 * inf = NaN) for every slot
     base_table = jnp.where(jnp.isfinite(base_table), base_table, 0.0)
+    base2 = table_readout_layout(base_table)
     k_max = jnp.max(counts.reshape(n_chunks, C_blk), axis=1)
 
     def one_chunk(c0):
@@ -264,7 +314,7 @@ def cellmajor_offsets_pass(use_rdelta, F, C_blk, n_hi,
             hR = rec[:, 5][:, None]
             hlnR = rec[:, 6][:, None]
 
-            A_T, inb = _blend_rows(rec, gz, gM, base_table)  # (Nr, C)
+            A_T, inb = _blend_rows(rec, gz, gM, base2, gprops)  # (Nr, C)
             live = ok & inb                                  # (C,)
 
             dx = (px - hvx) * hD
@@ -322,14 +372,12 @@ def cellmajor_offsets_pass(use_rdelta, F, C_blk, n_hi,
 def cellmajor_paint_pass(F, C_blk, n_hi,
                          pix_x, pix_y, pix_z, hid_dense, counts,
                          packed, gz, gM, base_table, lnr_grid,
-                         eps_max, new_map, k_static=None):
+                         eps_max, new_map, k_static=None, gprops=()):
     """Cell-major painting pass (log-profile base table; exp readout).
-    ``k_static`` as in :func:`cellmajor_offsets_pass` (reverse-mode AD
-    needs the static trip count)."""
+    ``k_static`` / ``gprops`` as in :func:`cellmajor_offsets_pass`."""
     npix = pix_x.shape[0]
     ncell = counts.shape[0]
     K_pad = hid_dense.shape[0] // ncell
-    Nr = base_table.shape[2]
     n_chunks = ncell // C_blk
     dt = new_map.dtype
     g0 = lnr_grid[0]
@@ -338,6 +386,7 @@ def cellmajor_paint_pass(F, C_blk, n_hi,
     # negative FINITE stand-in keeps the one-hot matmuls NaN-free and
     # still paints exp(...) = 0 wherever such a node is touched
     base_table = jnp.where(jnp.isfinite(base_table), base_table, -1e30)
+    base2 = table_readout_layout(base_table)
     k_max = jnp.max(counts.reshape(n_chunks, C_blk), axis=1)
 
     def one_chunk(c0):
@@ -364,7 +413,7 @@ def cellmajor_paint_pass(F, C_blk, n_hi,
             ha = rec[:, 4][:, None]
             hR = rec[:, 5][:, None]
 
-            A_T, inb = _blend_rows(rec, gz, gM, base_table)
+            A_T, inb = _blend_rows(rec, gz, gM, base2, gprops)
             live = ok & inb
 
             dx = (px - hvx) * hD

@@ -81,19 +81,33 @@ class DefaultRunnerSnapshot:
                          else "float32")
         self.dtype = jnp.dtype(precision)
         # 'cellmajor': particle-major dense pass, zero per-call gathers
-        # on the particle side (snapshot_cellmajor.py); 'gather': the
-        # per-halo K^dim cell-block formulation (the only path for 2D
-        # snapshots or extra parameter axes). auto: cellmajor where
-        # eligible on accelerators.
+        # on the particle side (snapshot_cellmajor.py; extra table axes
+        # / per-halo property columns ride in the packed records);
+        # 'gather': the per-halo K^dim cell-block formulation (the only
+        # path for 2D snapshots). auto: cellmajor where eligible on
+        # accelerators.
+        from .grid_cellmajor import MAX_PROPS_SNAP
         p_keys = getattr(model, 'p_keys', []) or []
-        eligible = (not ParticleSnapshot.is2D and not p_keys)
+        why_not = None
+        if ParticleSnapshot.is2D:
+            why_not = "2D snapshots have no cell-major formulation"
+        elif len(p_keys) > MAX_PROPS_SNAP:
+            why_not = (f"model has {len(p_keys)} extra parameter axes; "
+                       f"the packed records fit at most {MAX_PROPS_SNAP}")
         if method == "auto":
-            method = ("cellmajor" if eligible
-                      and jax.default_backend() != "cpu" else "gather")
-        if method == "cellmajor" and not eligible:
-            raise ValueError(
-                "method='cellmajor' supports 3D snapshots without extra "
-                "parameter axes; use 'gather'")
+            if why_not is None and jax.default_backend() != "cpu":
+                method = "cellmajor"
+            else:
+                if why_not is not None and jax.default_backend() != "cpu":
+                    import warnings
+                    warnings.warn(
+                        f"falling back to the halo-major 'gather' method "
+                        f"({why_not}); expect a ~10x+ slowdown on "
+                        f"accelerators")
+                method = "gather"
+        if method == "cellmajor" and why_not is not None:
+            raise ValueError(f"method='cellmajor' unsupported here: "
+                             f"{why_not}; use 'gather'")
         self.method = method
 
         coords = (['x', 'y'] if ParticleSnapshot.is2D else ['x', 'y', 'z'])
@@ -377,6 +391,10 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
         cols[:, 3] = R_com
         cols[:, 4] = np.log(cat['M'])
         cols[:, 5] = np.log(R_com)
+        from .grid_cellmajor import PROP_COL0_SNAP
+        p_keys = getattr(self.model, 'p_keys', []) or []
+        for j, k in enumerate(p_keys):
+            cols[:, PROP_COL0_SNAP + j] = cat[k]
         self._geom_cache = (a, R_com, R_q, xh, cols)
         self._geom_cache_cat = self.HaloNDCatalog
         return self._geom_cache
@@ -420,6 +438,7 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
             gz = model._grids[0].astype(dt)
             gM = model._grids[1].astype(dt)
             g2 = model._grids[2].astype(dt)
+            gprops = tuple(g.astype(dt) for g in model._grids[3:])
             table = jnp.asarray(table).astype(dt)
             z_coord = dt.type(np.log(1.0 + self.HaloNDCatalog.redshift))
             table_z, inb_z = gcm.blend_table_z(table, gz, z_coord)
@@ -453,7 +472,7 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
                     px, py, pz, counts_p, packed[sel_dev], gM,
                     table_z, g2, float(self.epsilon_max),
                     dt.type(a), dt.type(L), *off_pad,
-                    k_static=max(int(K), 1))
+                    k_static=max(int(K), 1), gprops=gprops)
             # unpad (sorted order) -> unsort (original order) -> update
             order_dev = jnp.asarray(tree.order, dtype=jnp.int32)
             out = []
@@ -481,6 +500,7 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
             gz = model._grids[0].astype(dt)
             gM = model._grids[1].astype(dt)
             g2 = model._grids[2].astype(dt)
+            gprops = tuple(g.astype(dt) for g in model._grids[3:])
             z_coord = float(np.log(1.0 + self.HaloNDCatalog.redshift))
             table_z, inb_z = gcm.blend_table_z(
                 model._table.astype(dt), gz, dt.type(z_coord))
@@ -505,13 +525,18 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
             else:
                 put = lambda x: x
                 ncell_pad = ncell
-            # packed halo records (positions wrapped into [0, L))
+            # packed halo records (positions wrapped into [0, L));
+            # extra table-axis coordinates at PROP_COL0_SNAP..
+            from .grid_cellmajor import PROP_COL0_SNAP
+            p_keys = getattr(model, 'p_keys', []) or []
             H = len(xh)
             cols = np.zeros((H, 16))
             cols[:, :3] = np.mod(xh, L)
             cols[:, 3] = R_com
             cols[:, 4] = np.log(cat['M'])
             cols[:, 5] = np.log(R_com)
+            for j, k in enumerate(p_keys):
+                cols[:, PROP_COL0_SNAP + j] = cat[k]
             packed = jnp.asarray(cols, dtype=dt)
             g2_np = np.asarray(model._grids[2])
             zeros = put(jnp.zeros((ncell_pad * P_pad,), dtype=dt))
@@ -546,14 +571,15 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
                             put(pad_rows(counts_h, ncell_pad)),
                             (px, py, pz), counts_p, packed[sel_dev], gM,
                             table_z, g2, float(self.epsilon_max),
-                            float(a), L, off_pad)
+                            float(a), L, off_pad, gprops=gprops)
                     else:
                         off_pad = scm.snapshot_offsets_pass(
                             use_rdelta, P_pad, C_blk, n_hi, dense,
                             counts_h, px, py, pz, counts_p,
                             packed[sel_dev], gM, table_z, g2,
                             float(self.epsilon_max),
-                            dt.type(a), dt.type(L), *off_pad)
+                            dt.type(a), dt.type(L), *off_pad,
+                            gprops=gprops)
             # unpad: sorted-particle order, then the original unsort
             off_np = np.stack([np.asarray(o[pad_idx]) for o in off_pad],
                               axis=-1)

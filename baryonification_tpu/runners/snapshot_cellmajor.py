@@ -30,7 +30,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .grid_cellmajor import _blend_rows_M, _segment_readout
+from .grid_cellmajor import (_blend_rows_M, _segment_readout,
+                             table_z_readout_layout, PROP_COL0_SNAP)
 
 __all__ = ["pad_particles_by_cell", "snapshot_offsets_pass"]
 
@@ -88,12 +89,15 @@ def pad_particles_by_cell(tree, coords, P_pad):
 def snapshot_offsets_pass(use_rdelta, P, C_blk, n_hi,
                           hid_dense, counts_h, px, py, pz, counts_p,
                           packed, gM, table_z, lnr_grid, eps_max,
-                          a_scale, L, ox, oy, oz, k_static=None):
+                          a_scale, L, ox, oy, oz, k_static=None,
+                          gprops=()):
     """One bucket's displacement pass over all padded particle slots.
 
     px, py, pz : (ncell * P,) padded particle-position planes
     counts_p : (ncell,) particles per cell
-    packed : (H, 16) [x, y, z, R_com, lnM, lnRc, ...] halo records
+    packed : (H, 16) [x, y, z, R_com, lnM, lnRc | props...] halo records
+    gprops : extra table-axis grids (per-halo coordinates in packed
+             cols PROP_COL0_SNAP..)
     a_scale : scalar — d(comoving) * a -> snapshot coordinates
               (`SnapshotRunner.py:228,245`)
     Output: padded offset planes (accumulated onto ox/oy/oz).
@@ -104,6 +108,7 @@ def snapshot_offsets_pass(use_rdelta, P, C_blk, n_hi,
     dt = ox.dtype
     g0 = lnr_grid[0]
     dg = lnr_grid[1] - lnr_grid[0]
+    table2 = table_z_readout_layout(table_z)
     k_max = jnp.max(counts_h.reshape(n_chunks, C_blk), axis=1)
     slot = jnp.arange(P, dtype=jnp.int32)[None, :]
 
@@ -133,7 +138,10 @@ def snapshot_offsets_pass(use_rdelta, P, C_blk, n_hi,
             hR = rec[:, 3][:, None]
             hlnR = rec[:, 5][:, None]
 
-            A_T, inb_M = _blend_rows_M(rec[:, 4], gM, table_z)
+            A_T, inb_M = _blend_rows_M(
+                rec[:, 4], gM, table2,
+                rec[:, PROP_COL0_SNAP:PROP_COL0_SNAP + len(gprops)],
+                gprops)
 
             dx = pxc - hx
             dx = dx - L * jnp.round(dx / L)

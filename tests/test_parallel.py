@@ -474,6 +474,71 @@ class TestRunnerMesh:
                            mesh=mesh, method="scatter")
 
 
+class TestMeshGradients:
+    """Multi-chip gradients (VERDICT r3 directive 4): jax.grad through
+    the sharded differentiable cores must match the single-device
+    gradient — shard_map offset passes and the psum-joined regrid all
+    have transpose rules, and the slot loops run with static trip
+    counts."""
+
+    @pytest.fixture(scope="class")
+    def mesh(self):
+        return Mesh(np.array(jax.devices()), axis_names=("cells",))
+
+    def test_baryonify_shell_mesh_grad_matches(self, mesh):
+        from baryonification_tpu import BaryonifyShell
+
+        cat, shell = _mesh_test_setup()
+        model = _StubDisp()
+        # a fixed random weighting makes the scalar loss sensitive to
+        # every pixel
+        w = jnp.asarray(np.random.default_rng(5).normal(
+            size=shell.map.shape))
+
+        single = BaryonifyShell(cat, shell, epsilon_max=10.0, model=model,
+                                method="cellmajor", verbose=False)
+        sharded = BaryonifyShell(cat, shell, epsilon_max=10.0, model=model,
+                                 mesh=mesh, verbose=False)
+
+        loss_s = lambda t: jnp.sum(w * single.process_device(table=t))
+        loss_m = lambda t: jnp.sum(w * sharded.process_device(table=t))
+
+        val_s, g_s = jax.value_and_grad(loss_s)(model._table)
+        val_m, g_m = jax.value_and_grad(loss_m)(model._table)
+        assert np.isfinite(val_s)
+        np.testing.assert_allclose(float(val_m), float(val_s),
+                                   rtol=1e-12)
+        g_s, g_m = np.asarray(g_s), np.asarray(g_m)
+        assert np.abs(g_s).max() > 0
+        np.testing.assert_allclose(g_m, g_s, rtol=1e-10,
+                                   atol=1e-10 * np.abs(g_s).max())
+
+    def test_paint_shell_mesh_grad_matches(self, mesh):
+        cat, shell = _mesh_test_setup()
+        model = _StubPaint()
+        w = jnp.asarray(np.random.default_rng(6).normal(
+            size=shell.map.shape))
+
+        single = PaintProfilesShell(cat, shell, epsilon_max=10.0,
+                                    model=model, method="cellmajor",
+                                    verbose=False)
+        sharded = PaintProfilesShell(cat, shell, epsilon_max=10.0,
+                                     model=model, mesh=mesh,
+                                     verbose=False)
+
+        loss_s = lambda t: jnp.sum(w * single.process_device(table=t))
+        loss_m = lambda t: jnp.sum(w * sharded.process_device(table=t))
+
+        val_s, g_s = jax.value_and_grad(loss_s)(model._ln2D)
+        val_m, g_m = jax.value_and_grad(loss_m)(model._ln2D)
+        np.testing.assert_allclose(float(val_m), float(val_s),
+                                   rtol=1e-12)
+        g_s, g_m = np.asarray(g_s), np.asarray(g_m)
+        assert np.abs(g_s).max() > 0
+        np.testing.assert_allclose(g_m, g_s, rtol=1e-10,
+                                   atol=1e-10 * np.abs(g_s).max())
+
+
 class TestMeshAnyDeviceCount:
     """Grid/snapshot mesh sharding must run on device counts that do NOT
     divide the cell/block axis (VERDICT r2 weak #5): the cell axis is
