@@ -199,74 +199,83 @@ def min_coarse_nside(n_devices):
 
 
 @lru_cache(maxsize=None)
-def _mesh_offsets_fn(mesh, axis, use_rdelta, F, C_blk, n_hi, eps_max):
+def _mesh_offsets_fn(mesh, axis, use_rdelta, F, C_blk, n_hi, eps_max,
+                     k_static=None):
     """Compiled shard-mapped cell-major displacement pass (cached so
-    repeated buckets/process() calls reuse the executable)."""
+    repeated buckets/process() calls reuse the executable).
+    ``k_static``: fixed slot-loop trip count — required for reverse-mode
+    AD through the pass (see cellmajor_offsets_pass)."""
     from .runners.shell_cellmajor import cellmajor_offsets_pass
 
     def step(vx_s, vy_s, vz_s, dense_s, counts_s, ox, oy, oz,
-             packed, gz, gM, table, lnr):
+             packed, gz, gM, table, lnr, gprops):
         return cellmajor_offsets_pass(
             use_rdelta, F, C_blk, n_hi, vx_s, vy_s, vz_s,
             dense_s.reshape(-1), counts_s, packed, gz, gM, table, lnr,
-            eps_max, ox, oy, oz)
+            eps_max, ox, oy, oz, gprops=gprops, k_static=k_static)
 
     sh = P(axis)
     rep = P()
     return jax.jit(jax.shard_map(
         step, mesh=mesh,
-        in_specs=(sh, sh, sh, sh, sh, sh, sh, sh, rep, rep, rep, rep, rep),
+        in_specs=(sh, sh, sh, sh, sh, sh, sh, sh, rep, rep, rep, rep,
+                  rep, rep),
         out_specs=(sh, sh, sh)))
 
 
 def mesh_offsets_bucket(mesh, axis, use_rdelta, F, C_blk, n_hi,
                         pix_planes, dense2d, counts, packed, gz, gM,
-                        table, lnr_grid, eps_max, offsets):
+                        table, lnr_grid, eps_max, offsets, gprops=(),
+                        k_static=None):
     """One bucket of the cell-sharded displacement pass.
 
     NESTED-ordered cells are disjoint sky patches, so the pass is
     embarrassingly parallel: each device owns a contiguous cell range
     (its slice of the pixel planes, dense (ncell, K_pad) candidate
-    matrix and counts); halo records and the base table are replicated;
-    the per-pixel offsets come out sharded with NO communication.
-    ``offsets`` carries sharded across buckets.
+    matrix and counts); halo records, the base table and the extra
+    table-axis grids (``gprops``) are replicated; the per-pixel offsets
+    come out sharded with NO communication. ``offsets`` carries sharded
+    across buckets.
     """
     fn = _mesh_offsets_fn(mesh, axis, bool(use_rdelta), int(F), int(C_blk),
-                          int(n_hi), float(eps_max))
+                          int(n_hi), float(eps_max),
+                          None if k_static is None else int(k_static))
     vx, vy, vz = pix_planes
     ox, oy, oz = offsets
     return fn(vx, vy, vz, dense2d, counts, ox, oy, oz,
-              packed, gz, gM, table, lnr_grid)
+              packed, gz, gM, table, lnr_grid, tuple(gprops))
 
 
 @lru_cache(maxsize=None)
-def _mesh_paint_fn(mesh, axis, F, C_blk, n_hi, eps_max):
+def _mesh_paint_fn(mesh, axis, F, C_blk, n_hi, eps_max, k_static=None):
     from .runners.shell_cellmajor import cellmajor_paint_pass
 
     def step(vx_s, vy_s, vz_s, dense_s, counts_s, m_s,
-             packed, gz, gM, table, lnr):
+             packed, gz, gM, table, lnr, gprops):
         return cellmajor_paint_pass(
             F, C_blk, n_hi, vx_s, vy_s, vz_s, dense_s.reshape(-1),
-            counts_s, packed, gz, gM, table, lnr, eps_max, m_s)
+            counts_s, packed, gz, gM, table, lnr, eps_max, m_s,
+            gprops=gprops, k_static=k_static)
 
     sh = P(axis)
     rep = P()
     return jax.jit(jax.shard_map(
         step, mesh=mesh,
-        in_specs=(sh, sh, sh, sh, sh, sh, rep, rep, rep, rep, rep),
+        in_specs=(sh, sh, sh, sh, sh, sh, rep, rep, rep, rep, rep, rep),
         out_specs=sh))
 
 
 def mesh_paint_bucket(mesh, axis, F, C_blk, n_hi, pix_planes, dense2d,
                       counts, packed, gz, gM, table, lnr_grid, eps_max,
-                      map_nested):
+                      map_nested, gprops=(), k_static=None):
     """One bucket of the cell-sharded painting pass (painting is purely
     local to each device's pixels; the map carries sharded)."""
     fn = _mesh_paint_fn(mesh, axis, int(F), int(C_blk), int(n_hi),
-                        float(eps_max))
+                        float(eps_max),
+                        None if k_static is None else int(k_static))
     vx, vy, vz = pix_planes
     return fn(vx, vy, vz, dense2d, counts, map_nested,
-              packed, gz, gM, table, lnr_grid)
+              packed, gz, gM, table, lnr_grid, tuple(gprops))
 
 
 @lru_cache(maxsize=None)
@@ -324,25 +333,25 @@ def _mesh_grid_offsets_fn(mesh, axis, use_rdelta, B, C_blk, n_hi, N,
 
     def step(dense_s, counts_s, *rest):
         offs = rest[:d]
-        packed, gM, table_z, lnr = rest[d:]
+        packed, gM, table_z, lnr, gprops = rest[d:]
         block0 = jax.lax.axis_index(axis) * counts_s.shape[0]
         return pass_fn(
             use_rdelta, B, C_blk, n_hi, N, half, dense_s.reshape(-1),
             counts_s, packed, gM, table_z, lnr, eps_max, L, res, bins0,
-            *offs, k_static=k_static, block0=block0)
+            *offs, k_static=k_static, block0=block0, gprops=gprops)
 
     sh = P(axis)
     rep = P()
     return jax.jit(jax.shard_map(
         step, mesh=mesh,
-        in_specs=(sh, sh) + (sh,) * d + (rep,) * 4,
+        in_specs=(sh, sh) + (sh,) * d + (rep,) * 5,
         out_specs=(sh,) * d))
 
 
 def mesh_grid_offsets_bucket(mesh, axis, use_rdelta, B, C_blk, n_hi, N,
                              half, dense2d, counts, packed, gM, table_z,
                              lnr_grid, eps_max, L, res, bins0, offsets,
-                             k_static=None):
+                             k_static=None, gprops=()):
     """One bucket of the block-sharded grid displacement pass: Morton
     blocks are disjoint box regions, so each device owns a contiguous
     block range with NO communication; ``offsets`` (2 planes for a 2D
@@ -354,7 +363,8 @@ def mesh_grid_offsets_bucket(mesh, axis, use_rdelta, B, C_blk, n_hi, N,
                                None if k_static is None else int(k_static),
                                float(L), float(res), float(bins0),
                                is2D=(len(offsets) == 2))
-    return fn(dense2d, counts, *offsets, packed, gM, table_z, lnr_grid)
+    return fn(dense2d, counts, *offsets, packed, gM, table_z, lnr_grid,
+              tuple(gprops))
 
 
 @lru_cache(maxsize=None)
@@ -363,24 +373,24 @@ def _mesh_grid_paint_fn(mesh, axis, B, C_blk, n_hi, N, half, eps_max,
     from .runners.grid_cellmajor import grid_paint_pass, grid_paint_pass_2d
     pass_fn = grid_paint_pass_2d if is2D else grid_paint_pass
 
-    def step(dense_s, counts_s, m_s, packed, gM, table_z, lnr):
+    def step(dense_s, counts_s, m_s, packed, gM, table_z, lnr, gprops):
         block0 = jax.lax.axis_index(axis) * counts_s.shape[0]
         return pass_fn(
             B, C_blk, n_hi, N, half, dense_s.reshape(-1), counts_s,
             packed, gM, table_z, lnr, eps_max, L, res, bins0, m_s,
-            k_static=k_static, block0=block0)
+            k_static=k_static, block0=block0, gprops=gprops)
 
     sh = P(axis)
     rep = P()
     return jax.jit(jax.shard_map(
         step, mesh=mesh,
-        in_specs=(sh, sh, sh, rep, rep, rep, rep), out_specs=sh))
+        in_specs=(sh, sh, sh, rep, rep, rep, rep, rep), out_specs=sh))
 
 
 def mesh_grid_paint_bucket(mesh, axis, B, C_blk, n_hi, N, half, dense2d,
                            counts, packed, gM, table_z, lnr_grid,
                            eps_max, L, res, bins0, map_bm,
-                           k_static=None, is2D=False):
+                           k_static=None, is2D=False, gprops=()):
     """One bucket of the block-sharded grid painting pass (purely
     local; the block-major map carries sharded)."""
     fn = _mesh_grid_paint_fn(mesh, axis, int(B), int(C_blk), int(n_hi),
@@ -388,7 +398,47 @@ def mesh_grid_paint_bucket(mesh, axis, B, C_blk, n_hi, N, half, dense2d,
                              None if k_static is None else int(k_static),
                              float(L), float(res), float(bins0),
                              is2D=bool(is2D))
-    return fn(dense2d, counts, map_bm, packed, gM, table_z, lnr_grid)
+    return fn(dense2d, counts, map_bm, packed, gM, table_z, lnr_grid,
+              tuple(gprops))
+
+
+@lru_cache(maxsize=None)
+def _mesh_grid_anis_paint_fn(mesh, axis, B, C_blk, n_hi, N, half,
+                             eps_max, k_static, L, res, bins0):
+    from .runners.grid_cellmajor import grid_anis_paint_pass_2d
+
+    def step(dense_s, counts_s, canvas_s, m_s, packed, gM, table_q,
+             lnq, gprops):
+        block0 = jax.lax.axis_index(axis) * counts_s.shape[0]
+        return grid_anis_paint_pass_2d(
+            B, C_blk, n_hi, N, half, dense_s.reshape(-1), counts_s,
+            packed, gM, table_q, lnq, eps_max, L, res, bins0, canvas_s,
+            m_s, k_static=k_static, block0=block0, gprops=gprops)
+
+    sh = P(axis)
+    rep = P()
+    return jax.jit(jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(sh, sh, sh, sh, rep, rep, rep, rep, rep),
+        out_specs=sh))
+
+
+def mesh_grid_anis_paint_bucket(mesh, axis, B, C_blk, n_hi, N, half,
+                                dense2d, counts, packed, gM, table_q,
+                                lnq_grid, eps_max, L, res, bins0,
+                                canvas_bm, map_bm, k_static=None,
+                                gprops=()):
+    """One bucket of the block-sharded density-dependent (anis) painting
+    pass: like mesh_grid_paint_bucket, with the block-major CANVAS (the
+    existing map values, the remap's readout coordinate) sharded
+    alongside the output map."""
+    fn = _mesh_grid_anis_paint_fn(
+        mesh, axis, int(B), int(C_blk), int(n_hi), int(N), int(half),
+        float(eps_max),
+        None if k_static is None else int(k_static),
+        float(L), float(res), float(bins0))
+    return fn(dense2d, counts, canvas_bm, map_bm, packed, gM, table_q,
+              lnq_grid, tuple(gprops))
 
 
 @lru_cache(maxsize=None)
@@ -449,26 +499,26 @@ def _mesh_snap_offsets_fn(mesh, axis, use_rdelta, P_pad, C_blk, n_hi,
     from .runners.snapshot_cellmajor import snapshot_offsets_pass
 
     def step(dense_s, counts_h_s, px_s, py_s, pz_s, counts_p_s,
-             ox, oy, oz, packed, gM, table_z, lnr):
+             ox, oy, oz, packed, gM, table_z, lnr, gprops):
         return snapshot_offsets_pass(
             use_rdelta, P_pad, C_blk, n_hi, dense_s.reshape(-1),
             counts_h_s, px_s, py_s, pz_s, counts_p_s, packed, gM,
             table_z, lnr, eps_max, a_scale, L, ox, oy, oz,
-            k_static=k_static)
+            k_static=k_static, gprops=gprops)
 
     sh = P(axis)
     rep = P()
     return jax.jit(jax.shard_map(
         step, mesh=mesh,
         in_specs=(sh, sh, sh, sh, sh, sh, sh, sh, sh,
-                  rep, rep, rep, rep),
+                  rep, rep, rep, rep, rep),
         out_specs=(sh, sh, sh)))
 
 
 def mesh_snap_offsets_bucket(mesh, axis, use_rdelta, P_pad, C_blk, n_hi,
                              dense2d, counts_h, planes, counts_p, packed,
                              gM, table_z, lnr_grid, eps_max, a_scale, L,
-                             offsets, k_static=None):
+                             offsets, k_static=None, gprops=()):
     """One bucket of the cell-sharded particle-displacement pass."""
     fn = _mesh_snap_offsets_fn(mesh, axis, bool(use_rdelta), int(P_pad),
                                int(C_blk), int(n_hi), float(eps_max),
@@ -477,12 +527,13 @@ def mesh_snap_offsets_bucket(mesh, axis, use_rdelta, P_pad, C_blk, n_hi,
     px, py, pz = planes
     ox, oy, oz = offsets
     return fn(dense2d, counts_h, px, py, pz, counts_p, ox, oy, oz,
-              packed, gM, table_z, lnr_grid)
+              packed, gM, table_z, lnr_grid, tuple(gprops))
 
 
 def mesh_cellmajor_shell(mesh, axis, nside, F, C_blk, n_hi, use_rdelta,
                          pix_planes, hid_dense, counts, packed,
-                         gz, gM, table, lnr_grid, eps_max, orig_map):
+                         gz, gM, table, lnr_grid, eps_max, orig_map,
+                         gprops=()):
     """Multi-chip shell baryonify: ONE bucket's cell-major displacement
     pass + conservative regrid, sharded over coarse CELLS.
 
@@ -516,6 +567,6 @@ def mesh_cellmajor_shell(mesh, axis, nside, F, C_blk, n_hi, use_rdelta,
     offsets = mesh_offsets_bucket(
         mesh, axis, use_rdelta, F, C_blk, n_hi, pix_planes,
         hid_dense.reshape(ncell, K_pad), counts, packed, gz, gM, table,
-        lnr_grid, eps_max, (z0, z0, z0))
+        lnr_grid, eps_max, (z0, z0, z0), gprops=gprops)
     return mesh_regrid_shell(mesh, axis, nside, pix_planes, orig_map,
                              offsets)

@@ -90,23 +90,36 @@ class DefaultRunnerGrid:
             precision = ("float64" if jax.default_backend() == "cpu"
                          else "float32")
         self.dtype = jnp.dtype(precision)
-        # 'cellmajor' (no extra param axes; 2D incl. ellipticity — the
-        # shear matrix rides in the packed records — or isotropic 3D):
+        # 'cellmajor' (2D incl. ellipticity — the shear matrix rides in
+        # the packed records — or isotropic 3D; extra table axes /
+        # per-halo property columns ride in the packed records too):
         # block-major dense pass, TPU speed-of-light (grid_cellmajor.py);
         # 'scatter': per-halo windowed cutouts + scatter-add (exact
-        # reference-loop semantics; the only path for 3D ellipticity /
-        # p_keys). auto: cellmajor where eligible on accelerators.
+        # reference-loop semantics; the only path for 3D ellipticity).
+        # auto: cellmajor where eligible on accelerators.
+        from .grid_cellmajor import MAX_PROPS_2D, MAX_PROPS_3D
         p_keys = getattr(model, 'p_keys', []) or []
-        eligible = (not p_keys
-                    and (GriddedMap.is2D or not use_ellipticity))
+        max_props = MAX_PROPS_2D if GriddedMap.is2D else MAX_PROPS_3D
+        why_not = None
+        if not GriddedMap.is2D and use_ellipticity:
+            why_not = "3D ellipticity has no cell-major formulation"
+        elif len(p_keys) > max_props:
+            why_not = (f"model has {len(p_keys)} extra parameter axes; "
+                       f"the packed records fit at most {max_props}")
         if method == "auto":
-            method = ("cellmajor" if eligible
-                      and jax.default_backend() != "cpu" else "scatter")
-        if method == "cellmajor" and not eligible:
-            raise ValueError(
-                "method='cellmajor' supports 2D grids (incl. "
-                "ellipticity) and isotropic 3D grids without extra "
-                "parameter axes; use 'scatter'")
+            if why_not is None and jax.default_backend() != "cpu":
+                method = "cellmajor"
+            else:
+                if why_not is not None and jax.default_backend() != "cpu":
+                    import warnings
+                    warnings.warn(
+                        f"falling back to the windowed 'scatter' method "
+                        f"({why_not}); expect a ~5-70x slowdown on "
+                        f"accelerators")
+                method = "scatter"
+        if method == "cellmajor" and why_not is not None:
+            raise ValueError(f"method='cellmajor' unsupported here: "
+                             f"{why_not}; use 'scatter'")
         self.method = method
 
         if use_ellipticity:
@@ -176,8 +189,11 @@ class DefaultRunnerGrid:
 
     def _grid_packed(self, arrs, R_com, dt):
         """(H, 16) packed records [x, y, z, R_com, lnM, lnRc, cen_x,
-        cen_y, cen_z, pad...] for the cell-major grid kernels (cached
-        per dtype)."""
+        cen_y, cen_z | props...] for the cell-major grid kernels (cached
+        per dtype). Extra table-axis coordinates (per-halo property
+        columns) ride in the trailing columns — PROP_COL0_3D /
+        PROP_COL0_2D in grid_cellmajor.py."""
+        from .grid_cellmajor import PROP_COL0_2D, PROP_COL0_3D
         cache = getattr(self, '_gpacked_cache', None)
         if cache is None:
             cache = {}
@@ -185,10 +201,11 @@ class DefaultRunnerGrid:
         key = str(dt)
         if key not in cache:
             H = len(arrs['x'])
+            n_props = arrs['props'].shape[1]
             cols = np.zeros((H, 16))
             if self.GriddedMap.is2D:
                 # 2D layout: [x, y, R_com, lnM, lnRc, cen_x, cen_y,
-                #             Rm00, Rm01, Rm10, Rm11, pad...]
+                #             Rm00, Rm01, Rm10, Rm11 | props...]
                 cols[:, 0] = arrs['x']
                 cols[:, 1] = arrs['y']
                 cols[:, 2] = R_com
@@ -197,6 +214,9 @@ class DefaultRunnerGrid:
                 cols[:, 5] = self._nearest_bins(arrs['x'])
                 cols[:, 6] = self._nearest_bins(arrs['y'])
                 cols[:, 7:11] = arrs['Rmat'].reshape(H, 4)
+                if n_props:
+                    cols[:, PROP_COL0_2D:PROP_COL0_2D + n_props] = \
+                        arrs['props']
             else:
                 cols[:, 0] = arrs['x']
                 cols[:, 1] = arrs['y']
@@ -207,6 +227,9 @@ class DefaultRunnerGrid:
                 cols[:, 6] = self._nearest_bins(arrs['x'])
                 cols[:, 7] = self._nearest_bins(arrs['y'])
                 cols[:, 8] = self._nearest_bins(arrs['z'])
+                if n_props:
+                    cols[:, PROP_COL0_3D:PROP_COL0_3D + n_props] = \
+                        arrs['props']
             cache[key] = jnp.asarray(cols, dtype=dt)
         return cache[key]
 
@@ -648,6 +671,7 @@ class BaryonifyGrid(DefaultRunnerGrid):
             gz, gM, g2 = (model._grids[0].astype(dt),
                           model._grids[1].astype(dt),
                           model._grids[2].astype(dt))
+            gprops = tuple(g.astype(dt) for g in model._grids[3:])
             z_coord = float(np.log(1.0 / a))
             tbl = (model._table if table is None
                    else jnp.asarray(table)).astype(dt)
@@ -716,7 +740,7 @@ class BaryonifyGrid(DefaultRunnerGrid):
                             put(pad_rows(counts, ncell_pad)),
                             packed[sel_dev], gM, table_z, g2,
                             float(self.epsilon_max), L, res, bins0,
-                            (zb,) * dim)
+                            (zb,) * dim, gprops=gprops)
                     else:
                         pass_fn = (gcm.grid_offsets_pass_2d if gm.is2D
                                    else gcm.grid_offsets_pass)
@@ -727,7 +751,8 @@ class BaryonifyGrid(DefaultRunnerGrid):
                             dt.type(res), dt.type(bins0),
                             *(jnp.zeros((N ** dim,), dtype=dt)
                               for _ in range(dim)),
-                            k_static=(max(int(K), 1) if device else None))
+                            k_static=(max(int(K), 1) if device else None),
+                            gprops=gprops)
                     inv = put_rm(self._grid_inv_perm(N, B_eff))
                     offsets = tuple(_permute_add(o, p, inv)
                                     for o, p in zip(offsets, planes))
@@ -922,6 +947,7 @@ class PaintProfilesGrid(DefaultRunnerGrid):
             gz, gM, g2 = (model._grids[0].astype(dt),
                           model._grids[1].astype(dt),
                           model._grids[2].astype(dt))
+            gprops = tuple(g.astype(dt) for g in model._grids[3:])
             z_coord = float(np.log(1.0 / a))
             table_z, inb_z = gcm.blend_table_z(
                 jnp.asarray(table).astype(dt), gz, dt.type(z_coord))
@@ -984,7 +1010,7 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                             packed[sel_dev], gM, table_z,
                             g2, float(self.epsilon_max), L, res, bins0,
                             put(jnp.zeros((ncell_pad * F,), dtype=dt)),
-                            is2D=gm.is2D)
+                            is2D=gm.is2D, gprops=gprops)
                     else:
                         paint_fn = (gcm.grid_paint_pass_2d if gm.is2D
                                     else gcm.grid_paint_pass)
@@ -994,7 +1020,8 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                             float(self.epsilon_max), dt.type(L),
                             dt.type(res), dt.type(bins0),
                             jnp.zeros((N ** dim,), dtype=dt),
-                            k_static=(max(int(K), 1) if device else None))
+                            k_static=(max(int(K), 1) if device else None),
+                            gprops=gprops)
                     inv = put_rm(self._grid_inv_perm(N, B_eff))
                     new_map = _permute_add(new_map, out_bm, inv)
             shape = (N, N) if gm.is2D else (N, N, N)
@@ -1009,16 +1036,229 @@ class PaintProfilesAnisGrid(DefaultRunnerGrid):
     per halo, build the radial (Paint, Canvas) profile pair, construct the
     monotone Canvas -> Paint mapping, and evaluate it on the *existing*
     map values — painting y(delta) instead of y(r). 2D only.
+
+    Two formulations:
+
+    - ``method='scatter'`` (CPU default): the reference's host loop —
+      per halo, exact profile pair on a per-halo radius grid and a
+      1000-point monotone log-log interp evaluated on the halo's cutout.
+    - ``method='cellmajor'`` (accelerator default; takes ``mesh=``): the
+      remap ln Paint(ln Canvas) is tabulated ONCE per (M [, prop...])
+      node on a uniform global ln-canvas grid (``Nq_interp`` nodes) at
+      the catalog redshift, then a single block-major dense pass per
+      bucket reads it with the same one-hot (M x prop) blend +
+      hat-basis readout as the radial paint kernels — the readout
+      coordinate is the log of the existing map value
+      (`grid_cellmajor.grid_anis_paint_pass_2d`). Painting is additive,
+      so ``mesh=`` shards the Morton block axis with a psum join, the
+      reference's SplitJoinParallel contract
+      (`utils/Parallelize.py:297-319`).
     """
 
     def __init__(self, HaloNDCatalog, GriddedMap, epsilon_max,
                  Painting_model=None, Canvas_model=None, Nbin_interp=1000,
-                 mass_def=None, verbose=True, halo_chunk=64, n_buckets=8):
+                 Nq_interp=96, mass_def=None, verbose=True, halo_chunk=64,
+                 n_buckets=8, precision="auto", method="auto", mesh=None,
+                 mesh_axis=None):
         super().__init__(HaloNDCatalog, GriddedMap, epsilon_max,
                          Painting_model, mass_def=mass_def, verbose=verbose,
-                         halo_chunk=halo_chunk, n_buckets=n_buckets)
+                         halo_chunk=halo_chunk, n_buckets=n_buckets,
+                         precision=precision, method=method, mesh=mesh,
+                         mesh_axis=mesh_axis)
         self.Canvas_model = Canvas_model
         self.Nbin_interp = Nbin_interp
+        self.Nq_interp = Nq_interp
+
+    def _anis_remap_table(self, cosmo, a):
+        """Tabulate ln Paint as a function of ln Canvas on a uniform
+        global ln-canvas grid, per (M [, prop...]) node.
+
+        Each node's (Paint, Canvas) pair is evaluated on the SAME radius
+        domain the host loop uses for a halo of that node mass —
+        [1e-6, sqrt(2) * half * res] with half the halo's cutout
+        half-window — so the per-node valid canvas range matches the
+        reference's per-halo interp domain (values outside it are
+        NaN -> masked zero there; `Map2DRunner.py:899-918`). The node's
+        [lnC_min, lnC_max] range rides as TWO EXTRA ROWS of the remap
+        table (indices Nq, Nq+1), blended by the kernel alongside the
+        profile rows so the range test is per-slot exact at the nodes.
+
+        Returns (lnq_grid (Nq,), gM (NM,), gprops tuple, remap
+        (NM, Nq + 2 [, P...])) in float64; degenerate nodes carry an
+        inverted range (+1e30, -1e30), which blends to an empty
+        in-range window.
+        """
+        from itertools import product
+        Paint, Canvas = self.model, self.Canvas_model
+        gm = self.GriddedMap
+        p_keys = getattr(Paint, 'p_keys', []) or []
+        if p_keys:
+            from ..tabulate import ParamTabulatedProfile
+            assert isinstance(Paint, ParamTabulatedProfile), (
+                "per-halo properties on the cell-major anis path need a "
+                "ParamTabulatedProfile Painting_model (its prop grids "
+                "define the table axes)")
+            gprops = tuple(np.asarray(g, dtype=np.float64)
+                           for g in Paint._grids[3:])
+        else:
+            gprops = ()
+
+        lnM_cat = np.log(self.HaloNDCatalog.cat['M'].astype(np.float64))
+        if hasattr(Paint, '_grids'):
+            gM = np.asarray(Paint._grids[1], dtype=np.float64)
+        else:
+            lo, hi = lnM_cat.min(), lnM_cat.max()
+            pad = max(0.05 * (hi - lo), 1e-3)
+            gM = np.linspace(lo - pad, hi + pad, 33)
+        M_nodes = np.exp(gM)
+
+        # per-node radius domain = the host loop's per-halo one
+        R_nodes = np.atleast_1d(np.asarray(
+            self.mass_def.get_radius(cosmo, M_nodes, a))) / a
+        Nsize_n = (2 * self.epsilon_max * R_nodes
+                   / gm.res).astype(np.int64) // 2 * 2
+        half_n = np.maximum(Nsize_n // 2, 1)
+        r_hi_n = np.sqrt(2.0) * half_n * gm.res
+
+        combos = list(product(*[range(len(g)) for g in gprops])) \
+            if gprops else [()]
+        Nq = self.Nq_interp
+        lnP_n = np.empty((len(M_nodes), self.Nbin_interp, len(combos)))
+        lnC_n = np.empty_like(lnP_n)
+        good_n = np.zeros(lnP_n.shape, dtype=bool)
+        for mi, M_i in enumerate(M_nodes):
+            r_arr = np.geomspace(1e-6, max(r_hi_n[mi], 2e-6),
+                                 self.Nbin_interp)
+            for ci, combo in enumerate(combos):
+                o = {k: gprops[i][combo[i]] for i, k in enumerate(p_keys)}
+                P = np.asarray(Paint.projected(cosmo, r_arr, M_i, a, **o))
+                C = np.asarray(Canvas.projected(cosmo, r_arr, M_i, a,
+                                                **o))
+                g = (np.isfinite(P) & np.isfinite(C) & (P > 0) & (C > 0))
+                good_n[mi, :, ci] = g
+                with np.errstate(invalid='ignore', divide='ignore'):
+                    lnP_n[mi, :, ci] = np.log(np.where(g, P, 1.0))
+                    lnC_n[mi, :, ci] = np.log(np.where(g, C, 1.0))
+        if not good_n.any():
+            raise ValueError("anis remap: no valid (Paint, Canvas) "
+                             "profile points at any table node")
+        lnq_lo = lnC_n[good_n].min()
+        lnq_hi = lnC_n[good_n].max()
+        lnq_grid = np.linspace(lnq_lo, lnq_hi, Nq)
+
+        remap = np.full((len(M_nodes), Nq + 2, len(combos)), -1e30)
+        remap[:, Nq, :] = 1e30       # lnC_min sentinel (empty range)
+        remap[:, Nq + 1, :] = -1e30  # lnC_max sentinel
+        for mi in range(len(M_nodes)):
+            for ci in range(len(combos)):
+                g = good_n[mi, :, ci]
+                if g.sum() < 2:
+                    continue
+                lnC = lnC_n[mi, g, ci]
+                lnP = lnP_n[mi, g, ci]
+                s = np.argsort(lnC)
+                # endpoint-clamped rows; the range test is separate
+                remap[mi, :Nq, ci] = np.interp(lnq_grid, lnC[s], lnP[s])
+                remap[mi, Nq, ci] = lnC[s][0]
+                remap[mi, Nq + 1, ci] = lnC[s][-1]
+        shape = (len(M_nodes), Nq + 2) + tuple(len(g) for g in gprops)
+        return lnq_grid, gM, gprops, remap.reshape(shape)
+
+    def _paint_anis_cellmajor(self, gm, cosmo, a, arrs, R_com, Nsize):
+        """Block-major dense density-dependent painting (see
+        grid_cellmajor.grid_anis_paint_pass_2d)."""
+        from contextlib import nullcontext
+        from ..utils import x64_disabled
+        from . import grid_cellmajor as gcm
+        dt = self.dtype
+        N = gm.Npix
+        L = float(N * gm.res)
+        res = gm.res
+        self._check_gcaches()
+        lnq_np, gM_np, gprops_np, remap = self._anis_remap_table(cosmo, a)
+        hot_ctx = (x64_disabled() if dt == jnp.dtype('float32')
+                   else nullcontext())
+        with hot_ctx:
+            lnq = jnp.asarray(lnq_np).astype(dt)
+            gM = jnp.asarray(gM_np).astype(dt)
+            gprops = tuple(jnp.asarray(g).astype(dt) for g in gprops_np)
+            table_q = jnp.asarray(remap).astype(dt)
+            table_q = jnp.where(jnp.isfinite(table_q), table_q, -1e30)
+            packed = self._grid_packed(arrs, R_com, dt)
+            n_dev = (self.mesh.shape[self.mesh_axis]
+                     if self.mesh is not None else 1)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                from ..parallel import pad_cells_for_mesh, pad_rows
+                sh = NamedSharding(self.mesh,
+                                   PartitionSpec(self.mesh_axis))
+                put = lambda x: jax.device_put(x, sh)
+                put_rm = put if (N * N) % n_dev == 0 else (lambda x: x)
+            else:
+                put = put_rm = lambda x: x
+            new_map = put_rm(jnp.zeros((N * N,), dtype=dt))
+            canvas_rm = jnp.asarray(
+                np.asarray(gm.map, dtype=np.float64).reshape(-1)
+            ).astype(dt)
+            n_hi = self.Nq_interp
+            idx_all = np.where(Nsize >= 2)[0]   # host-loop keep mask
+            for bi, idx in enumerate(
+                    _nsize_buckets(Nsize[idx_all], self.n_buckets)):
+                sel = idx_all[idx]
+                half = int(Nsize[sel].max() // 2)
+                B = gcm.pick_block_size(N, max(half, 4))
+                reach = (half + 1) * res
+                dense, counts, K, B_eff = self._grid_dense(
+                    bi, B, sel, arrs, reach,
+                    self.epsilon_max * R_com[sel]
+                    * arrs['qfac'][sel], dt)
+                nb = N // B_eff
+                F = B_eff ** 2
+                ncell = nb ** 2
+                if self.mesh is not None:
+                    ncell_pad, C_blk = pad_cells_for_mesh(
+                        ncell, n_dev, F)
+                else:
+                    ncell_pad = ncell
+                    C_blk = self._grid_cell_chunk(ncell, F)
+                if self.verbose:
+                    print(f"Anis Painting: bucket {bi + 1} "
+                          f"({len(sel)} halos, B={B}->{B_eff}, "
+                          f"K={K}, F={F}, C={C_blk}, n_hi={n_hi}"
+                          + (f", mesh x{n_dev})" if self.mesh
+                             is not None else ")"))
+                sel_dev = jnp.asarray(sel, dtype=jnp.int32)
+                bins0 = float(np.asarray(gm.bins)[0])
+                # canvas in this bucket's block-major order
+                perm = gcm.block_perm_2d(N, B_eff)
+                canvas_bm = canvas_rm[perm]
+                if self.mesh is not None:
+                    from ..parallel import mesh_grid_anis_paint_bucket
+                    canvas_pad = jnp.zeros((ncell_pad * F,), dtype=dt)
+                    canvas_pad = canvas_pad.at[:N * N].set(canvas_bm)
+                    out_bm = mesh_grid_anis_paint_bucket(
+                        self.mesh, self.mesh_axis, B_eff, C_blk,
+                        n_hi, N, half,
+                        put(pad_rows(dense.reshape(ncell, -1),
+                                     ncell_pad)),
+                        put(pad_rows(counts, ncell_pad)),
+                        packed[sel_dev], gM, table_q,
+                        lnq, float(self.epsilon_max), L, res, bins0,
+                        put(canvas_pad),
+                        put(jnp.zeros((ncell_pad * F,), dtype=dt)),
+                        gprops=gprops)
+                else:
+                    out_bm = gcm.grid_anis_paint_pass_2d(
+                        B_eff, C_blk, n_hi, N, half, dense, counts,
+                        packed[sel_dev], gM, table_q, lnq,
+                        float(self.epsilon_max), dt.type(L),
+                        dt.type(res), dt.type(bins0), canvas_bm,
+                        jnp.zeros((N * N,), dtype=dt),
+                        gprops=gprops)
+                inv = put_rm(self._grid_inv_perm(N, B_eff))
+                new_map = _permute_add(new_map, out_bm, inv)
+            new_map = np.asarray(new_map)
+        return new_map.reshape(N, N)
 
     def process(self):
         assert self.GriddedMap.is2D, ("Can only paint tSZ on 2D maps. "
@@ -1034,6 +1274,14 @@ class PaintProfilesAnisGrid(DefaultRunnerGrid):
         Nsize = (2 * self.epsilon_max * R_com / gm.res).astype(np.int64)
         Nsize = Nsize // 2 * 2
         keep = Nsize >= 2
+
+        if self.method == "cellmajor":
+            # clip the cutout window to the map (the host loop would
+            # wrap-and-double-count there; stay out of that regime)
+            Nsize_eff = np.where(keep,
+                                 np.clip(Nsize, 2, gm.Npix), 0)
+            return self._paint_anis_cellmajor(gm, cosmo, a, arrs, R_com,
+                                              Nsize_eff)
 
         orig_flat = np.asarray(gm.map, dtype=np.float64).reshape(-1)
         new_map = np.zeros_like(orig_flat)

@@ -35,7 +35,8 @@ __all__ = ["block_perm", "register_halos_grid", "blend_table_z",
            "grid_offsets_pass", "grid_paint_pass", "pick_block_size",
            "block_perm_2d", "register_halos_grid_2d",
            "refine_block_candidates_2d", "grid_offsets_pass_2d",
-           "grid_paint_pass_2d", "morton2", "demorton2"]
+           "grid_paint_pass_2d", "grid_anis_paint_pass_2d",
+           "morton2", "demorton2"]
 
 
 def _spread3(v):
@@ -217,9 +218,9 @@ def refine_block_candidates(nb_child, dense_parent, counts_parent,
 
 
 def blend_table_z(table, gz, z_coord):
-    """Blend the (Nz, NM, Nr) table down to (NM, Nr) at the catalog's
-    single log(1+z) coordinate (linear, matching ndlinear_interp's z
-    axis). Returns (table_z, inb_z)."""
+    """Blend the (Nz, NM, Nr [, P...]) table down to (NM, Nr [, P...])
+    at the catalog's single log(1+z) coordinate (linear, matching
+    ndlinear_interp's z axis). Returns (table_z, inb_z)."""
     g = gz
     i = jnp.clip(jnp.searchsorted(g, z_coord, side="right") - 1, 0,
                  g.shape[0] - 2)
@@ -229,26 +230,40 @@ def blend_table_z(table, gz, z_coord):
     return tz, inb
 
 
-def _blend_rows_M(lnM, gM, table_z):
-    """One-hot mass-axis blend: (C,) slot masses -> (Nr, C) profile rows
-    from the z-blended (NM, Nr) table (same arithmetic as
-    ops.interp.blend_table_radial's M axis)."""
-    g = gM
-    ge = (lnM[:, None] >= g[None, :])
-    i = jnp.clip(jnp.sum(ge.astype(jnp.int32), axis=1) - 1, 0,
-                 g.shape[0] - 2)
-    n = jnp.arange(g.shape[0], dtype=jnp.int32)
-    eq0 = (n[None, :] == i[:, None])
-    eq1 = (n[None, :] == i[:, None] + 1)
-    g_i = jnp.sum(jnp.where(eq0, g[None, :], 0.0), axis=1)
-    g_i1 = jnp.sum(jnp.where(eq1, g[None, :], 0.0), axis=1)
-    t = (lnM - g_i) / (g_i1 - g_i)
-    W = (jnp.where(eq0, (1.0 - t)[:, None], 0.0)
-         + jnp.where(eq1, t[:, None], 0.0))
-    inb = (lnM >= g[0]) & (lnM <= g[-1])
-    # (NM, Nr)^T @ (NM, C)... A_T = table_z.T @ W.T : (Nr, C)
-    A_T = table_z.T @ W.T
-    return A_T, inb
+# packed-record column where extra table-axis coordinates start, per
+# kernel family (cols before it are geometry; 16-wide records)
+PROP_COL0_3D = 9      # grid 3D: [x y z R lnM lnR cenx ceny cenz | props]
+PROP_COL0_2D = 11     # grid 2D: [x y R lnM lnR cenx ceny Rm00..Rm11 | props]
+PROP_COL0_SNAP = 6    # snapshot: [x y z R lnM lnR | props]
+MAX_PROPS_3D = 16 - PROP_COL0_3D
+MAX_PROPS_2D = 16 - PROP_COL0_2D
+MAX_PROPS_SNAP = 16 - PROP_COL0_SNAP
+
+
+def table_z_readout_layout(table_z):
+    """(NM, Nr [, P...]) z-blended table -> (Nr, NM * prod(P)) readout
+    layout: the radial axis becomes the matmul row axis, the mass and
+    extra-param axes merge into ONE contraction axis (C-order matching
+    shell_cellmajor.combined_axis_weights). One relayout per pass."""
+    nd = table_z.ndim
+    t = jnp.transpose(table_z, (1, 0) + tuple(range(2, nd)))
+    return t.reshape(t.shape[0], -1)
+
+
+def _blend_rows_M(lnM, gM, table2, props=None, gprops=()):
+    """One-hot (mass x extra-axis) blend: (C,) slot masses (+ per-slot
+    prop coordinates, (C, n_props)) -> (Nr, C) profile rows from the
+    readout-layout table (see table_z_readout_layout; same arithmetic
+    as ops.interp.blend_table_radial's non-z axes)."""
+    from .shell_cellmajor import axis_weights, combined_axis_weights
+    WM, inb_M = axis_weights(gM, lnM)
+    if gprops:
+        V_T, inb_p = combined_axis_weights(WM, props, gprops, 0)
+        inb_M = inb_M & inb_p
+    else:
+        V_T = WM.T
+    A_T = table2 @ V_T
+    return A_T, inb_M
 
 
 def _segment_readout(A_T, t, n_hi):
@@ -300,7 +315,7 @@ def _window_ok(iv, cen, half, N):
 def grid_offsets_pass(use_rdelta, B, C_blk, n_hi, N, half,
                       hid_dense, counts, packed, gM, table_z, lnr_grid,
                       eps_max, L, res, bins0, ox_o, oy_o, oz_o,
-                      k_static=None, block0=0):
+                      k_static=None, block0=0, gprops=()):
     """One bucket's displacement pass over all voxels in block-major
     order.
 
@@ -321,6 +336,7 @@ def grid_offsets_pass(use_rdelta, B, C_blk, n_hi, N, half,
     dt = ox_o.dtype
     g0 = lnr_grid[0]
     dg = lnr_grid[1] - lnr_grid[0]
+    table2 = table_z_readout_layout(table_z)
     k_max = jnp.max(counts.reshape(n_chunks, C_blk), axis=1)
 
     def one_chunk(c0):
@@ -346,7 +362,9 @@ def grid_offsets_pass(use_rdelta, B, C_blk, n_hi, N, half,
             ceny = rec[:, 7][:, None].astype(jnp.int32)
             cenz = rec[:, 8][:, None].astype(jnp.int32)
 
-            A_T, inb_M = _blend_rows_M(rec[:, 4], gM, table_z)
+            A_T, inb_M = _blend_rows_M(
+                rec[:, 4], gM, table2,
+                rec[:, PROP_COL0_3D:PROP_COL0_3D + len(gprops)], gprops)
 
             dx = xv - hx
             dx = dx - L * jnp.round(dx / L)
@@ -388,7 +406,7 @@ def grid_offsets_pass(use_rdelta, B, C_blk, n_hi, N, half,
 def grid_paint_pass(B, C_blk, n_hi, N, half,
                     hid_dense, counts, packed, gM, table_z, lnr_grid,
                     eps_max, L, res, bins0, new_map, k_static=None,
-                    block0=0):
+                    block0=0, gprops=()):
     """Cell-major painting pass over a 3D grid (log-profile table_z —
     non-finite nodes pre-sanitized to -1e30 by the caller; exp readout
     via the hat form, which keeps huge sentinels inert)."""
@@ -400,6 +418,7 @@ def grid_paint_pass(B, C_blk, n_hi, N, half,
     dt = new_map.dtype
     g0 = lnr_grid[0]
     dg = lnr_grid[1] - lnr_grid[0]
+    table2 = table_z_readout_layout(table_z)
     k_max = jnp.max(counts.reshape(n_chunks, C_blk), axis=1)
 
     def one_chunk(c0):
@@ -423,7 +442,9 @@ def grid_paint_pass(B, C_blk, n_hi, N, half,
             ceny = rec[:, 7][:, None].astype(jnp.int32)
             cenz = rec[:, 8][:, None].astype(jnp.int32)
 
-            A_T, inb_M = _blend_rows_M(rec[:, 4], gM, table_z)
+            A_T, inb_M = _blend_rows_M(
+                rec[:, 4], gM, table2,
+                rec[:, PROP_COL0_3D:PROP_COL0_3D + len(gprops)], gprops)
 
             dx = xv - hx
             dx = dx - L * jnp.round(dx / L)
@@ -615,7 +636,7 @@ def _pixel_planes_2d(c0, C_blk, B, bins0, res, dt, block0=0):
 def grid_offsets_pass_2d(use_rdelta, B, C_blk, n_hi, N, half,
                          hid_dense, counts, packed, gM, table_z, lnr_grid,
                          eps_max, L, res, bins0, ox_o, oy_o,
-                         k_static=None, block0=0):
+                         k_static=None, block0=0, gprops=()):
     """One bucket's 2D displacement pass in block-major order.
 
     packed : (H, 16) [x, y, R_com, lnM, lnRc, cen_x, cen_y,
@@ -631,6 +652,7 @@ def grid_offsets_pass_2d(use_rdelta, B, C_blk, n_hi, N, half,
     dt = ox_o.dtype
     g0 = lnr_grid[0]
     dg = lnr_grid[1] - lnr_grid[0]
+    table2 = table_z_readout_layout(table_z)
     k_max = jnp.max(counts.reshape(n_chunks, C_blk), axis=1)
 
     def one_chunk(c0):
@@ -657,7 +679,9 @@ def grid_offsets_pass_2d(use_rdelta, B, C_blk, n_hi, N, half,
             Rm10 = rec[:, 9][:, None]
             Rm11 = rec[:, 10][:, None]
 
-            A_T, inb_M = _blend_rows_M(rec[:, 3], gM, table_z)
+            A_T, inb_M = _blend_rows_M(
+                rec[:, 3], gM, table2,
+                rec[:, PROP_COL0_2D:PROP_COL0_2D + len(gprops)], gprops)
 
             dx = xv - hx
             dx = dx - L * jnp.round(dx / L)
@@ -693,10 +717,102 @@ def grid_offsets_pass_2d(use_rdelta, B, C_blk, n_hi, N, half,
 
 @partial(jax.jit, static_argnames=("B", "C_blk", "n_hi", "N", "half",
                                    "k_static"))
+def grid_anis_paint_pass_2d(B, C_blk, n_hi, N, half,
+                            hid_dense, counts, packed, gM, table_q,
+                            lnq_grid, eps_max, L, res, bins0, canvas,
+                            new_map, k_static=None, block0=0, gprops=()):
+    """Cell-major density-dependent (anisotropic) painting pass: the
+    TPU formulation of the reference's Canvas -> Paint monotone remap
+    (`Map2DRunner.py:818-940`, host loop in
+    ``PaintProfilesAnisGrid.process``).
+
+    Identical machinery to :func:`grid_paint_pass_2d` with ONE change:
+    the readout coordinate is the log of the EXISTING map value
+    (``canvas``, block-major like ``new_map``), not the log radius —
+    painting y(delta) instead of y(r). ``table_q`` holds ln Paint
+    resampled onto the uniform global ln Canvas grid ``lnq_grid`` per
+    (M [, prop...]) node, PLUS two extra rows (indices n_hi, n_hi + 1)
+    carrying each node's valid [lnC_min, lnC_max] canvas range (readout
+    layout, see :func:`table_z_readout_layout`). The range rows blend
+    with the same one-hot weights as the profile rows, so the per-slot
+    range test reproduces the reference's per-halo NaN -> masked-zero
+    interp domain exactly at the table nodes. Both the radial cutoff
+    r < eps_max * R and the per-bucket cutout window measure from the
+    halo's NEAREST BIN CENTER, as the reference's cutout radius grid
+    does (`Map2DRunner.py:890-905`; circular — the remap has no
+    ellipticity branch)."""
+    ncell = counts.shape[0]
+    K_pad = hid_dense.shape[0] // ncell
+    n_chunks = ncell // C_blk
+    dt = new_map.dtype
+    q0 = lnq_grid[0]
+    dq = lnq_grid[1] - lnq_grid[0]
+    table2 = table_z_readout_layout(table_q)
+    k_max = jnp.max(counts.reshape(n_chunks, C_blk), axis=1)
+    F = B * B
+
+    def one_chunk(c0):
+        (ix, iy), (xv, yv) = _pixel_planes_2d(c0, C_blk, B, bins0, res,
+                                              dt, block0=block0)
+        v = jax.lax.dynamic_slice_in_dim(canvas, c0 * C_blk * F,
+                                         C_blk * F).reshape(C_blk, F)
+        vpos = v > 0
+        lnv = jnp.log(jnp.where(vpos, v, 1.0))
+        t = (lnv - q0) / dq
+        cnt = jax.lax.dynamic_slice_in_dim(counts, c0 * C_blk, C_blk)
+        hid_blk = jax.lax.dynamic_slice_in_dim(
+            hid_dense, c0 * C_blk * K_pad,
+            C_blk * K_pad).reshape(C_blk, K_pad)
+
+        def k_body(k, acc):
+            ok = (k < cnt)
+            hid = hid_blk[:, k]
+            rec = packed[hid]
+            hR = rec[:, 2][:, None]
+            cenx = rec[:, 5][:, None].astype(jnp.int32)
+            ceny = rec[:, 6][:, None].astype(jnp.int32)
+
+            A_T, inb_M = _blend_rows_M(
+                rec[:, 3], gM, table2,
+                rec[:, PROP_COL0_2D:PROP_COL0_2D + len(gprops)], gprops)
+            lo = A_T[n_hi][:, None]
+            hi = A_T[n_hi + 1][:, None]
+
+            # cutout radius from the nearest bin center (reference
+            # builds its radius grid around x_cen, not the halo pos)
+            bx = bins0 + cenx.astype(dt) * res
+            by = bins0 + ceny.astype(dt) * res
+            dx = xv - bx
+            dx = dx - L * jnp.round(dx / L)
+            dy = yv - by
+            dy = dy - L * jnp.round(dy / L)
+            r_c = jnp.sqrt(dx * dx + dy * dy)
+            paint = jnp.exp(_hat_readout(A_T, t, n_hi))
+            paint = jnp.where(vpos & (lnv >= lo) & (lnv <= hi),
+                              paint, 0.0)
+            paint = jnp.where(r_c < eps_max * hR, paint, 0.0)
+            win = (_window_ok(ix, cenx, half, N)
+                   & _window_ok(iy, ceny, half, N))
+            live = ok & inb_M
+            paint = jnp.where(win & live[:, None]
+                              & jnp.isfinite(paint), paint, 0.0)
+            return acc + paint
+
+        z = xv * jnp.zeros((), dtype=dt)
+        upper = k_max[c0] if k_static is None else k_static
+        out = jax.lax.fori_loop(0, upper, k_body, z)
+        return out.reshape(-1)
+
+    out = jax.lax.map(one_chunk, jnp.arange(n_chunks))
+    return new_map + out.reshape(new_map.shape[0])
+
+
+@partial(jax.jit, static_argnames=("B", "C_blk", "n_hi", "N", "half",
+                                   "k_static"))
 def grid_paint_pass_2d(B, C_blk, n_hi, N, half,
                        hid_dense, counts, packed, gM, table_z, lnr_grid,
                        eps_max, L, res, bins0, new_map, k_static=None,
-                       block0=0):
+                       block0=0, gprops=()):
     """2D cell-major painting pass (projected log-profile table; the
     readout radius is the elliptical one)."""
     ncell = counts.shape[0]
@@ -705,6 +821,7 @@ def grid_paint_pass_2d(B, C_blk, n_hi, N, half,
     dt = new_map.dtype
     g0 = lnr_grid[0]
     dg = lnr_grid[1] - lnr_grid[0]
+    table2 = table_z_readout_layout(table_z)
     k_max = jnp.max(counts.reshape(n_chunks, C_blk), axis=1)
 
     def one_chunk(c0):
@@ -729,7 +846,9 @@ def grid_paint_pass_2d(B, C_blk, n_hi, N, half,
             Rm10 = rec[:, 9][:, None]
             Rm11 = rec[:, 10][:, None]
 
-            A_T, inb_M = _blend_rows_M(rec[:, 3], gM, table_z)
+            A_T, inb_M = _blend_rows_M(
+                rec[:, 3], gM, table2,
+                rec[:, PROP_COL0_2D:PROP_COL0_2D + len(gprops)], gprops)
 
             dx = xv - hx
             dx = dx - L * jnp.round(dx / L)
