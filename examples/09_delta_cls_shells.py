@@ -14,10 +14,11 @@ shapes are asserted:
   - monotone in theta_ej (larger ejection radius -> deeper suppression),
   - monotone in ell (deeper suppression toward smaller scales).
 
-Runs at the reference's production resolution by default (NSIDE=512,
-lmax=1024 — C_ell via the ring-FFT anafast; ~6 min CPU). NSIDE=64 is
-the quick smoke variant (NSIDE=64 python examples/09_delta_cls_shells.py,
-~3 min).
+Defaults: NSIDE=512 / lmax=1024 on CPU (~6 min; C_ell via the ring-FFT
+anafast). Under BENCH=1 (real TPU) the default rises to the reference
+notebook's full ULAGAM resolution, NSIDE=1024 / lmax=2048
+(`09_Reproduce_Schneider_deltaCls.ipynb` cell 2). NSIDE=64 is the quick
+smoke variant (NSIDE=64 python examples/09_delta_cls_shells.py, ~3 min).
 
 Exits nonzero on regression. Run: python examples/09_delta_cls_shells.py
 """
@@ -45,7 +46,8 @@ from baryonification_tpu.profiles import (DarkMatter, DarkMatterOnly,
 from baryonification_tpu.ops import healpix as hpx
 from baryonification_tpu.ops.spectra import anafast
 
-NSIDE = int(os.environ.get("NSIDE", 512))
+NSIDE = int(os.environ.get("NSIDE",
+                           1024 if os.environ.get("BENCH") else 512))
 LMAX = 2 * NSIDE
 N_HALO = 3_000
 # assertion multipoles scale with NSIDE (shapes are scale-free in ell/nside)
