@@ -740,7 +740,10 @@ class BaryonifyGrid(DefaultRunnerGrid):
                             put(pad_rows(counts, ncell_pad)),
                             packed[sel_dev], gM, table_z, g2,
                             float(self.epsilon_max), L, res, bins0,
-                            (zb,) * dim, gprops=gprops)
+                            (zb,) * dim,
+                            k_static=(max(int(K), 1) if device
+                                      else None),
+                            gprops=gprops)
                     else:
                         pass_fn = (gcm.grid_offsets_pass_2d if gm.is2D
                                    else gcm.grid_offsets_pass)
@@ -762,8 +765,11 @@ class BaryonifyGrid(DefaultRunnerGrid):
             if self.mesh is not None:
                 from ..parallel import mesh_grid_cic
                 vals = jnp.asarray(orig_map.reshape(-1), dtype=dt)
-                new_map = np.asarray(mesh_grid_cic(
-                    self.mesh, self.mesh_axis, N, vals, offsets_d))
+                new_map_d = mesh_grid_cic(
+                    self.mesh, self.mesh_axis, N, vals, offsets_d)
+                if device:
+                    return new_map_d
+                new_map = np.asarray(new_map_d)
             else:
                 new_map_d = self._cic_offsets(gm, offsets_d, orig_map, dt)
                 if device:
@@ -789,10 +795,11 @@ class BaryonifyGrid(DefaultRunnerGrid):
         counts) and the windowed-scatter one — the only 2D path,
         including ``use_ellipticity`` (the Pallas scatter carries an
         exact custom VJP, so this also works on TPU). Returns the new
-        map as a device array; no conservation assert."""
-        assert self.mesh is None, (
-            "process_device is the single-device differentiable core; "
-            "use process() for mesh execution")
+        map as a device array; no conservation assert. With ``mesh=``
+        the cell-major pipeline runs sharded over Morton blocks with
+        static trip counts and a psum-joined CIC — shard_map and psum
+        both carry transpose rules, so ``jax.grad`` flows through the
+        multi-chip pass (cf. ``BaryonifyShell.process_device``)."""
         cosmo = Cosmology.from_dict(self.cosmo)
         model = self.model
         if table is None:
@@ -888,10 +895,9 @@ class PaintProfilesGrid(DefaultRunnerGrid):
         painted map back into the log-profile table and on into gas
         parameters via ``build_tables_device``. Works for both the 3D
         cell-major formulation and the windowed one (the only 2D
-        path)."""
-        assert self.mesh is None, (
-            "process_device is the single-device differentiable core; "
-            "use process() for mesh execution")
+        path). With ``mesh=`` the cell-major pass runs sharded over
+        Morton blocks with static trip counts and stays differentiable
+        (cf. ``BaryonifyGrid.process_device``)."""
         cosmo = Cosmology.from_dict(self.cosmo)
         model = self.model
         gm = self.GriddedMap
@@ -1010,6 +1016,8 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                             packed[sel_dev], gM, table_z,
                             g2, float(self.epsilon_max), L, res, bins0,
                             put(jnp.zeros((ncell_pad * F,), dtype=dt)),
+                            k_static=(max(int(K), 1) if device
+                                      else None),
                             is2D=gm.is2D, gprops=gprops)
                     else:
                         paint_fn = (gcm.grid_paint_pass_2d if gm.is2D

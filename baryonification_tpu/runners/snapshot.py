@@ -412,6 +412,9 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
         parameters via ``build_table_device`` — the differentiable
         dP(k) path. Requires method='cellmajor' staging; geometry
         (cell list, padded particle planes, registrations) is constant.
+        With ``mesh=`` the pass runs sharded over cell-list cells with
+        static trip counts and stays differentiable
+        (cf. ``BaryonifyShell.process_device``).
         """
         assert self.method == "cellmajor", (
             "process_device requires the cell-major snapshot method")
@@ -449,10 +452,27 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
             P_pad, (px, py, pz), counts_p, pad_idx = self._cm_staging(dt)
             packed = jnp.asarray(cols, dtype=dt)
             g2_np = np.asarray(model._grids[2])
-            zeros = jnp.zeros((ncell * P_pad,), dtype=dt)
+            n_dev = (self.mesh.shape[self.mesh_axis]
+                     if self.mesh is not None else 1)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                from ..parallel import pad_cells_for_mesh, pad_rows
+                sh = NamedSharding(self.mesh,
+                                   PartitionSpec(self.mesh_axis))
+                put = lambda x: jax.device_put(x, sh)
+                ncell_pad, C_blk = pad_cells_for_mesh(ncell, n_dev,
+                                                      P_pad)
+                pad_plane = lambda p: put(pad_rows(
+                    p.reshape(ncell, P_pad), ncell_pad).reshape(-1))
+                px, py, pz = pad_plane(px), pad_plane(py), pad_plane(pz)
+                counts_p = put(pad_rows(counts_p, ncell_pad))
+            else:
+                from ..parallel import cell_chunk
+                put = lambda x: x
+                ncell_pad = ncell
+                C_blk = cell_chunk(ncell, P_pad)
+            zeros = put(jnp.zeros((ncell_pad * P_pad,), dtype=dt))
             off_pad = (zeros, zeros, zeros)
-            from ..parallel import cell_chunk
-            C_blk = cell_chunk(ncell, P_pad)
             order = np.argsort(R_q)
             for bi, idx in enumerate(
                     [s for s in np.array_split(order, self.n_buckets)
@@ -467,12 +487,25 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
                                        * R_com[idx].max()))
                 n_hi = self._node_bound(g2_np, rad_max, len(g2_np))
                 sel_dev = jnp.asarray(idx, dtype=jnp.int32)
-                off_pad = scm.snapshot_offsets_pass(
-                    use_rdelta, P_pad, C_blk, n_hi, dense, counts_h,
-                    px, py, pz, counts_p, packed[sel_dev], gM,
-                    table_z, g2, float(self.epsilon_max),
-                    dt.type(a), dt.type(L), *off_pad,
-                    k_static=max(int(K), 1), gprops=gprops)
+                if self.mesh is not None:
+                    from ..parallel import mesh_snap_offsets_bucket
+                    off_pad = mesh_snap_offsets_bucket(
+                        self.mesh, self.mesh_axis, use_rdelta,
+                        P_pad, C_blk, n_hi,
+                        put(pad_rows(dense.reshape(ncell, -1),
+                                     ncell_pad)),
+                        put(pad_rows(counts_h, ncell_pad)),
+                        (px, py, pz), counts_p, packed[sel_dev], gM,
+                        table_z, g2, float(self.epsilon_max),
+                        float(a), L, off_pad,
+                        k_static=max(int(K), 1), gprops=gprops)
+                else:
+                    off_pad = scm.snapshot_offsets_pass(
+                        use_rdelta, P_pad, C_blk, n_hi, dense, counts_h,
+                        px, py, pz, counts_p, packed[sel_dev], gM,
+                        table_z, g2, float(self.epsilon_max),
+                        dt.type(a), dt.type(L), *off_pad,
+                        k_static=max(int(K), 1), gprops=gprops)
             # unpad (sorted order) -> unsort (original order) -> update
             order_dev = jnp.asarray(tree.order, dtype=jnp.int32)
             out = []
