@@ -28,6 +28,11 @@ def main():
     nside = int(os.environ.get("BENCH_NSIDE", 1024))
     n_halo = int(os.environ.get("BENCH_NHALO", 1_000_000))
     eps_max = float(os.environ.get("BENCH_EPS_MAX", 20.0))
+    # BENCH_PROPS=1: sweep a per-halo theta_ej column through an extra
+    # displacement-table axis (the ParamTabulatedProfile contract,
+    # reference HealpixRunner.py:284-287,321) — measures the cell-major
+    # props fast path vs the plain (z, M) headline
+    props = os.environ.get("BENCH_PROPS", "") not in ("", "0")
 
     import jax
     import jax.numpy as jnp
@@ -52,16 +57,19 @@ def main():
 
     # ---- displacement table (one-time setup, cached on disk) ----
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".bench_table.npz")
+                         ".bench_table_props.npz" if props
+                         else ".bench_table.npz")
     model = Baryonification2D(DarkMatterOnly(**par), DarkMatterBaryon(**par),
                               cosmo, epsilon_max=eps_max)
+    other = ({"theta_ej": np.linspace(2.0, 8.0, 4)} if props else {})
     if os.path.exists(cache):
         model.load_table(cache)
     else:
         t0 = time.time()
         model.setup_interpolator(z_min=0.05, z_max=1.2, N_samples_z=12,
                                  M_min=1e12, M_max=1e16, N_samples_Mass=24,
-                                 R_min=1e-3, R_max=1e2, N_samples_R=100)
+                                 R_min=1e-3, R_max=1e2, N_samples_R=100,
+                                 other_params=other)
         print(f"# table build: {time.time() - t0:.1f}s", file=sys.stderr)
         model.save_table(cache)
 
@@ -73,7 +81,9 @@ def main():
     u = rng.uniform(0, 1, n_halo)
     M = 1e13 * (1 - u * (1 - (10 ** 15.3 / 1e13) ** (-0.8))) ** (-1 / 0.8)
     z = rng.uniform(0.1, 0.9, n_halo)
-    cat = HaloLightConeCatalog(ra=ra, dec=dec, M=M, z=z, cosmo=cosmo_dict)
+    extra = ({"theta_ej": rng.uniform(2.5, 7.5, n_halo)} if props else {})
+    cat = HaloLightConeCatalog(ra=ra, dec=dec, M=M, z=z, cosmo=cosmo_dict,
+                               **extra)
     shell = LightconeShell(map=rng.uniform(0.5, 1.5, hpx.npix(nside)),
                            cosmo=cosmo_dict)
 
@@ -152,7 +162,8 @@ def main():
 
     assert np.isclose(new_map.sum(), shell.map.sum(), rtol=1e-5)
     print(json.dumps({
-        "metric": f"nside{nside}_shell_baryonify_{n_halo}halos",
+        "metric": (f"nside{nside}_shell_baryonify_{n_halo}halos"
+                   + ("_props" if props else "")),
         "value": round(dt, 3),
         "unit": "s",
         "vs_baseline": round(10.0 / dt, 3),

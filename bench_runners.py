@@ -217,6 +217,56 @@ elif which == "grid2d":
                               method=method, verbose=False),
             f"grid2d/paint/{method}")
 
+elif which == "anis":
+    # density-dependent painting (Map2DRunner.py:818-940): tSZ painted
+    # as a function of the existing density canvas. cellmajor = the
+    # block-major remap pass; scatter = the reference host loop (slow:
+    # NHALO_SCATTER caps its halo count; its time scales linearly)
+    from baryonification_tpu.runners import PaintProfilesAnisGrid
+    from baryonification_tpu.profiles import DarkMatter
+    L = 1000.0
+    N = int(os.environ.get("NGRID", 2048))
+    n_halo = int(os.environ.get("NHALO", 200_000))
+    cat = HaloNDCatalog(x=rng.uniform(0, L, n_halo),
+                        y=rng.uniform(0, L, n_halo),
+                        M=power_law_masses(n_halo), redshift=0.25,
+                        cosmo=COSMO)
+    bins = (np.arange(N) + 0.5) * (L / N)
+    paint = tsz_model(32)
+    canvas = TabulatedProfile(DarkMatter(**PAR), cosmo)
+    cache = ".bench_anis_canvas.npz"
+    if os.path.exists(cache):
+        d = np.load(cache)
+        canvas._grids = tuple(jnp.asarray(d[k]) for k in ("g0", "g1", "g2"))
+        canvas._ln3D = jnp.asarray(d["ln3D"])
+        canvas._ln2D = jnp.asarray(d["ln2D"])
+    else:
+        canvas.setup_interpolator(z_min=0.05, z_max=1.0, N_samples_z=8,
+                                  M_min=1e12, M_max=1e16,
+                                  N_samples_Mass=24, R_min=1e-3,
+                                  R_max=1e2, N_samples_R=100)
+        np.savez(cache, g0=np.asarray(canvas._grids[0]),
+                 g1=np.asarray(canvas._grids[1]),
+                 g2=np.asarray(canvas._grids[2]),
+                 ln3D=np.asarray(canvas._ln3D),
+                 ln2D=np.asarray(canvas._ln2D))
+    # canvas map: DM surface-density-like values inside the remap range
+    gm = GriddedMap(map=10 ** rng.uniform(12.0, 14.5, (N, N)),
+                    redshift=0.25, bins=bins, cosmo=COSMO)
+    run(PaintProfilesAnisGrid(cat, gm, epsilon_max=5,
+                              Painting_model=paint, Canvas_model=canvas,
+                              method="cellmajor", verbose=False),
+        "anis/paint/cellmajor")
+    n_sc = int(os.environ.get("NHALO_SCATTER", 2000))
+    cat_sc = HaloNDCatalog(x=np.asarray(cat.cat['x'][:n_sc]),
+                           y=np.asarray(cat.cat['y'][:n_sc]),
+                           M=np.asarray(cat.cat['M'][:n_sc]),
+                           redshift=0.25, cosmo=COSMO)
+    run(PaintProfilesAnisGrid(cat_sc, gm, epsilon_max=5,
+                              Painting_model=paint, Canvas_model=canvas,
+                              method="scatter", verbose=False),
+        f"anis/paint/scatter[{n_sc} halos]", n_steady=1)
+
 elif which == "cls":
     # the reference's example-09 diagnostic at production resolution:
     # healpy.anafast of an NSIDE=1024 map (ring-FFT SHT, f32 on TPU)
