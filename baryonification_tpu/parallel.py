@@ -403,7 +403,7 @@ def mesh_grid_paint_bucket(mesh, axis, B, C_blk, n_hi, N, half, dense2d,
 
 
 @lru_cache(maxsize=None)
-def _mesh_grid_anis_paint_fn(mesh, axis, B, C_blk, n_hi, N, half,
+def _mesh_grid_anis_paint_fn(mesh, axis, B, C_blk, n_hi, N,
                              eps_max, k_static, L, res, bins0):
     from .runners.grid_cellmajor import grid_anis_paint_pass_2d
 
@@ -411,7 +411,7 @@ def _mesh_grid_anis_paint_fn(mesh, axis, B, C_blk, n_hi, N, half,
              lnq, gprops):
         block0 = jax.lax.axis_index(axis) * counts_s.shape[0]
         return grid_anis_paint_pass_2d(
-            B, C_blk, n_hi, N, half, dense_s.reshape(-1), counts_s,
+            B, C_blk, n_hi, N, dense_s.reshape(-1), counts_s,
             packed, gM, table_q, lnq, eps_max, L, res, bins0, canvas_s,
             m_s, k_static=k_static, block0=block0, gprops=gprops)
 
@@ -423,7 +423,7 @@ def _mesh_grid_anis_paint_fn(mesh, axis, B, C_blk, n_hi, N, half,
         out_specs=sh))
 
 
-def mesh_grid_anis_paint_bucket(mesh, axis, B, C_blk, n_hi, N, half,
+def mesh_grid_anis_paint_bucket(mesh, axis, B, C_blk, n_hi, N,
                                 dense2d, counts, packed, gM, table_q,
                                 lnq_grid, eps_max, L, res, bins0,
                                 canvas_bm, map_bm, k_static=None,
@@ -431,9 +431,10 @@ def mesh_grid_anis_paint_bucket(mesh, axis, B, C_blk, n_hi, N, half,
     """One bucket of the block-sharded density-dependent (anis) painting
     pass: like mesh_grid_paint_bucket, with the block-major CANVAS (the
     existing map values, the remap's readout coordinate) sharded
-    alongside the output map."""
+    alongside the output map. The per-halo cutout half-window rides in
+    the packed records (``ANIS_HALF_COL_2D``)."""
     fn = _mesh_grid_anis_paint_fn(
-        mesh, axis, int(B), int(C_blk), int(n_hi), int(N), int(half),
+        mesh, axis, int(B), int(C_blk), int(n_hi), int(N),
         float(eps_max),
         None if k_static is None else int(k_static),
         float(L), float(res), float(bins0))

@@ -235,8 +235,10 @@ def blend_table_z(table, gz, z_coord):
 PROP_COL0_3D = 9      # grid 3D: [x y z R lnM lnR cenx ceny cenz | props]
 PROP_COL0_2D = 11     # grid 2D: [x y R lnM lnR cenx ceny Rm00..Rm11 | props]
 PROP_COL0_SNAP = 6    # snapshot: [x y z R lnM lnR | props]
+ANIS_HALF_COL_2D = 15  # anis paint: per-halo cutout half-window (last col)
 MAX_PROPS_3D = 16 - PROP_COL0_3D
 MAX_PROPS_2D = 16 - PROP_COL0_2D
+MAX_PROPS_ANIS_2D = ANIS_HALF_COL_2D - PROP_COL0_2D
 MAX_PROPS_SNAP = 16 - PROP_COL0_SNAP
 
 
@@ -715,9 +717,9 @@ def grid_offsets_pass_2d(use_rdelta, B, C_blk, n_hi, N, half,
     return (ox_o + bx_.reshape(npix), oy_o + by_.reshape(npix))
 
 
-@partial(jax.jit, static_argnames=("B", "C_blk", "n_hi", "N", "half",
+@partial(jax.jit, static_argnames=("B", "C_blk", "n_hi", "N",
                                    "k_static"))
-def grid_anis_paint_pass_2d(B, C_blk, n_hi, N, half,
+def grid_anis_paint_pass_2d(B, C_blk, n_hi, N,
                             hid_dense, counts, packed, gM, table_q,
                             lnq_grid, eps_max, L, res, bins0, canvas,
                             new_map, k_static=None, block0=0, gprops=()):
@@ -737,10 +739,15 @@ def grid_anis_paint_pass_2d(B, C_blk, n_hi, N, half,
     with the same one-hot weights as the profile rows, so the per-slot
     range test reproduces the reference's per-halo NaN -> masked-zero
     interp domain exactly at the table nodes. Both the radial cutoff
-    r < eps_max * R and the per-bucket cutout window measure from the
-    halo's NEAREST BIN CENTER, as the reference's cutout radius grid
-    does (`Map2DRunner.py:890-905`; circular — the remap has no
-    ellipticity branch)."""
+    r < eps_max * R and the cutout window measure from the halo's
+    NEAREST BIN CENTER, as the reference's cutout radius grid does
+    (`Map2DRunner.py:890-905`; circular — the remap has no ellipticity
+    branch). The window half-width is PER HALO (packed column
+    ``ANIS_HALF_COL_2D``), matching the host loop's per-halo
+    ``Nsize[j] // 2`` cutout — a shared bucket-max window would paint
+    pixels outside a smaller halo's cutout square that still pass its
+    circular r < eps_max * R test (the remap value does not decay with
+    radius, so such spills are NOT small)."""
     ncell = counts.shape[0]
     K_pad = hid_dense.shape[0] // ncell
     n_chunks = ncell // C_blk
@@ -771,6 +778,7 @@ def grid_anis_paint_pass_2d(B, C_blk, n_hi, N, half,
             hR = rec[:, 2][:, None]
             cenx = rec[:, 5][:, None].astype(jnp.int32)
             ceny = rec[:, 6][:, None].astype(jnp.int32)
+            hhalf = rec[:, ANIS_HALF_COL_2D][:, None].astype(jnp.int32)
 
             A_T, inb_M = _blend_rows_M(
                 rec[:, 3], gM, table2,
@@ -791,8 +799,8 @@ def grid_anis_paint_pass_2d(B, C_blk, n_hi, N, half,
             paint = jnp.where(vpos & (lnv >= lo) & (lnv <= hi),
                               paint, 0.0)
             paint = jnp.where(r_c < eps_max * hR, paint, 0.0)
-            win = (_window_ok(ix, cenx, half, N)
-                   & _window_ok(iy, ceny, half, N))
+            win = (_window_ok(ix, cenx, hhalf, N)
+                   & _window_ok(iy, ceny, hhalf, N))
             live = ok & inb_M
             paint = jnp.where(win & live[:, None]
                               & jnp.isfinite(paint), paint, 0.0)

@@ -175,27 +175,13 @@ class DefaultRunner:
         # <4-pixel fallback). auto: cellmajor on accelerators, scatter
         # on CPU.
         from .shell_cellmajor import MAX_PROPS
+        from ._method import resolve_method
         n_props = len(getattr(model, 'p_keys', []) or [])
-        cm_ok = n_props <= MAX_PROPS
-        if method == "auto":
-            if jax.default_backend() == "cpu":
-                method = "scatter"
-            elif cm_ok:
-                method = "cellmajor"
-            else:
-                import warnings
-                warnings.warn(
-                    f"model has {n_props} extra parameter axes; the "
-                    f"cell-major fast path supports at most {MAX_PROPS} "
-                    f"— falling back to the windowed 'scatter' method "
-                    f"(expect a ~10-70x slowdown on accelerators)")
-                method = "scatter"
-        if method == "cellmajor" and not cm_ok:
-            raise ValueError(
-                f"method='cellmajor' supports at most {MAX_PROPS} extra "
-                f"parameter axes (packed-record columns); the model has "
-                f"{n_props}. Use method='scatter'.")
-        self.method = method
+        why_not = None
+        if n_props > MAX_PROPS:
+            why_not = (f"model has {n_props} extra parameter axes; "
+                       f"the packed records fit at most {MAX_PROPS}")
+        self.method = resolve_method(method, why_not, "scatter")
         if use_ellipticity:
             raise NotImplementedError(
                 "use_ellipticity = True is not implemented for the "

@@ -94,21 +94,8 @@ class DefaultRunnerSnapshot:
         elif len(p_keys) > MAX_PROPS_SNAP:
             why_not = (f"model has {len(p_keys)} extra parameter axes; "
                        f"the packed records fit at most {MAX_PROPS_SNAP}")
-        if method == "auto":
-            if why_not is None and jax.default_backend() != "cpu":
-                method = "cellmajor"
-            else:
-                if why_not is not None and jax.default_backend() != "cpu":
-                    import warnings
-                    warnings.warn(
-                        f"falling back to the halo-major 'gather' method "
-                        f"({why_not}); expect a ~10x+ slowdown on "
-                        f"accelerators")
-                method = "gather"
-        if method == "cellmajor" and why_not is not None:
-            raise ValueError(f"method='cellmajor' unsupported here: "
-                             f"{why_not}; use 'gather'")
-        self.method = method
+        from ._method import resolve_method
+        self.method = resolve_method(method, why_not, "gather")
 
         coords = (['x', 'y'] if ParticleSnapshot.is2D else ['x', 'y', 'z'])
         self._coords = np.stack([ParticleSnapshot.cat[c] for c in coords],
@@ -558,18 +545,12 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
             else:
                 put = lambda x: x
                 ncell_pad = ncell
-            # packed halo records (positions wrapped into [0, L));
-            # extra table-axis coordinates at PROP_COL0_SNAP..
-            from .grid_cellmajor import PROP_COL0_SNAP
-            p_keys = getattr(model, 'p_keys', []) or []
-            H = len(xh)
-            cols = np.zeros((H, 16))
-            cols[:, :3] = np.mod(xh, L)
-            cols[:, 3] = R_com
-            cols[:, 4] = np.log(cat['M'])
-            cols[:, 5] = np.log(R_com)
-            for j, k in enumerate(p_keys):
-                cols[:, PROP_COL0_SNAP + j] = cat[k]
+            # packed halo records (positions wrapped into [0, L),
+            # extra table-axis coordinates at PROP_COL0_SNAP..) — the
+            # SAME staging product process_device reads, so the record
+            # layout has exactly one builder (_halo_geom) and the cache
+            # is shared between the forward and differentiable paths
+            cols = self._halo_geom()[4]
             packed = jnp.asarray(cols, dtype=dt)
             g2_np = np.asarray(model._grids[2])
             zeros = put(jnp.zeros((ncell_pad * P_pad,), dtype=dt))

@@ -251,7 +251,11 @@ def fig1_jitter_fit(scraped=None, r=None, curves=None, h=None):
 
 
 def main():
-    rms = fig1_rms()
+    # compute the scraped data + the 9 profile quadratures ONCE and
+    # thread them through both consumers (they dominate the runtime)
+    scraped = load_scraped_fig1()
+    r, curves, h = compute_model_curves()
+    rms = fig1_rms(scraped, r, curves, h)
     failed = []
     print("Schneider+19 Fig 1 parity (RMS log10 model/scraped, dex):")
     for nm, (key, tol) in FIG1_CURVES.items():
@@ -263,7 +267,7 @@ def main():
     print(f"  overall RMS: {overall:.4f} dex "
           f"(~{100 * (10**overall - 1):.1f}% typical deviation)")
 
-    jit = fig1_jitter_fit()
+    jit = fig1_jitter_fit(scraped, r, curves, h)
     print("scrape-jitter attribution (per panel):")
     for panel, (sx, sy, z_std) in jit.items():
         status = "ok" if 0.8 < z_std < 1.2 else "FAIL"

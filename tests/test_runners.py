@@ -1025,6 +1025,39 @@ class TestPaintAnisGrid:
         assert rel.max() < 2e-2
         assert np.sqrt((rel ** 2).mean()) < 5e-3
 
+    def test_cellmajor_per_halo_window_shared_buckets(self, anis_setup):
+        """REGRESSION: with n_halos >> n_buckets, halos share a bucket
+        and the bucket-max cutout window exceeds the smaller halos' own
+        Nsize[j] // 2 squares. The anis paint has no radial decay (it
+        remaps map VALUES), so a shared window paints pixels the host
+        loop never touches at up to O(max) amplitude. The kernel must
+        use the PER-HALO window (packed ANIS_HALF_COL_2D column):
+        touched sets equal, values at the blended-mass floor."""
+        from baryonification_tpu.runners import PaintProfilesAnisGrid
+        cat0, gm, paint, canvas = anis_setup
+        rng = np.random.default_rng(11)
+        n_h = 24
+        cat = HaloNDCatalog(x=rng.uniform(2, 58, n_h),
+                            y=rng.uniform(2, 58, n_h),
+                            z=np.zeros(n_h),
+                            M=10 ** rng.uniform(13.2, 14.8, n_h),
+                            redshift=0.25, cosmo=COSMO_DICT)
+        kw = dict(epsilon_max=3, Painting_model=paint,
+                  Canvas_model=canvas, verbose=False, n_buckets=2)
+        host = PaintProfilesAnisGrid(cat, gm, method="scatter",
+                                     **kw).process()
+        cm = PaintProfilesAnisGrid(cat, gm, method="cellmajor",
+                                   **kw).process()
+        b_h, b_c = host != 0, cm != 0
+        assert b_h.sum() > 50
+        spurious = b_c & ~b_h
+        assert spurious.sum() == 0, (
+            f"{spurious.sum()} pixels painted outside per-halo cutouts")
+        assert np.array_equal(b_h, b_c)
+        rel = np.abs(cm[b_h] / host[b_h] - 1)
+        assert rel.max() < 2e-2
+        assert np.sqrt((rel ** 2).mean()) < 5e-3
+
     def test_cellmajor_mesh_matches_single(self, anis_setup, mesh):
         """mesh= shards the Morton block axis; painting is additive so
         the psum join must be bit-identical to single-device."""
