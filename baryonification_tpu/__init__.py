@@ -71,5 +71,6 @@ from .runners import (DefaultRunner, BaryonifyShell, PaintProfilesShell,
                       BaryonifySnapshot)
 from .parallel import SimpleParallel, SplitJoinParallel
 from . import analysis
+from . import inference
 
 __version__ = "0.1.0"

@@ -157,6 +157,12 @@ class BaryonificationClass:
         """
         if combos is None:
             combos = np.zeros((1, 0))
+        # the radial axis is STATIC table geometry: get_masses takes
+        # np.min/np.max of it for its integration range, and inside the
+        # scan trace a reduction on a closed-over DEVICE array returns a
+        # tracer (constants are lifted into the trace), so a jnp input
+        # here would crash float() — coerce to host numpy up front
+        r = np.asarray(r)
         if rdelta_range is None:
             rdelta_range = np.asarray(r)
         p_keys = list(p_keys)

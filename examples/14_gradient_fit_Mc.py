@@ -122,23 +122,18 @@ def main():
     assert float(g_start) * (LN_MC_START - LN_MC_TRUE) > 0, \
         "gradient at the start must point back toward the truth"
 
-    # ---- assert 2+3: Adam recovers M_c ----
-    import optax
-    opt = optax.adam(learning_rate=0.15)
-    lnMc = jnp.asarray(LN_MC_START)
-    state = opt.init(lnMc)
-    best = (np.inf, LN_MC_START)
-    for step in range(25):
-        c, g = val_grad(lnMc)
-        if float(c) < best[0]:
-            best = (float(c), float(lnMc))
-        upd, state = opt.update(g, state)
-        lnMc = optax.apply_updates(lnMc, upd)
-        if step % 5 == 0 or step == 24:
-            print(f"step {step:2d}: ln M_c = {float(lnMc):.4f} "
-                  f"(truth {LN_MC_TRUE:.4f})  chi2 = {float(c):.4e}")
+    # ---- assert 2+3: Adam recovers M_c (inference.fit packages the
+    # loop: best-seen iterate, loss history, callbacks) ----
+    from baryonification_tpu.inference import fit
 
-    c_final, lnMc_final = best
+    def progress(step, params, loss, grad):
+        if step % 5 == 0 or step == 24:
+            print(f"step {step:2d}: ln M_c = {float(params):.4f} "
+                  f"(truth {LN_MC_TRUE:.4f})  chi2 = {loss:.4e}")
+
+    res = fit(chi2, jnp.asarray(LN_MC_START), steps=25,
+              learning_rate=0.15, callback=progress)
+    c_final, lnMc_final = res.loss, float(res.params)
     err = abs(lnMc_final - LN_MC_TRUE)
     off0 = abs(LN_MC_START - LN_MC_TRUE)
     print(f"\nrecovered ln M_c = {lnMc_final:.4f}  (truth {LN_MC_TRUE:.4f}; "
@@ -147,6 +142,17 @@ def main():
           f"({float(c0) / max(c_final, 1e-300):.1f}x drop)")
     assert err < 0.05 * off0, "M_c not recovered"
     assert c_final < float(c0) / 100, "chi2 did not drop 100x"
+
+    # ---- Laplace uncertainty through the SAME pipeline: jax.hessian
+    # of the chi2 (forward-over-reverse) — error bars the reference's
+    # scipy/numba chain cannot express at all ----
+    from baryonification_tpu.inference import laplace_covariance
+    cov, sigma = laplace_covariance(chi2, jnp.asarray(lnMc_final))
+    sigma = float(np.asarray(sigma))
+    print(f"Laplace 1-sigma on ln M_c: {sigma:.2e} "
+          f"(noiseless mock: curvature scale only)")
+    assert np.isfinite(sigma) and sigma > 0, "Laplace sigma not finite"
+
     print("\nPASS: M_c recovered by autodiff through the full pipeline")
 
 

@@ -150,31 +150,28 @@ def main():
         return jnp.sum((ratio_of(lnMc) - target) ** 2) * 1e4
 
     # the target computation above ran the chain once eagerly, warming
-    # every host-side staging cache — so the WHOLE objective (table
-    # build + displacement + P(k) + backward) now compiles as one
-    # program and each Adam step is a single native call
-    val_grad = jax.jit(jax.value_and_grad(chi2))
-    c0, g0 = val_grad(jnp.asarray(LN_MC_START))
-    print(f"chi2 start {float(c0):.4e}   grad {float(g0):+.3e}")
-    assert float(g0) * (LN_MC_START - LN_MC_TRUE) > 0, \
-        "gradient must point back toward the truth"
+    # every host-side staging cache — so inference.fit(..., jit=True)
+    # compiles the WHOLE objective (table build + displacement + P(k)
+    # + backward) as one program: each Adam step is a single native
+    # call. The step-0 gradient (captured via the callback, same
+    # compiled program) must point back toward the truth.
+    from baryonification_tpu.inference import fit
 
-    import optax
-    opt = optax.adam(learning_rate=0.2)
-    lnMc = jnp.asarray(LN_MC_START)
-    state = opt.init(lnMc)
-    best = (np.inf, LN_MC_START)
-    for step in range(20):
-        c, g = val_grad(lnMc)
-        if float(c) < best[0]:
-            best = (float(c), float(lnMc))
-        upd, state = opt.update(g, state)
-        lnMc = optax.apply_updates(lnMc, upd)
+    start_grad = []
+
+    def progress(step, params, loss, grad):
+        if step == 0:
+            start_grad.append(float(grad))
+            print(f"chi2 start {loss:.4e}   grad {float(grad):+.3e}")
         if step % 4 == 0 or step == 19:
-            print(f"step {step:2d}: ln M_c = {float(lnMc):.4f} "
-                  f"(truth {LN_MC_TRUE:.4f})  chi2 = {float(c):.4e}")
+            print(f"step {step:2d}: ln M_c = {float(params):.4f} "
+                  f"(truth {LN_MC_TRUE:.4f})  chi2 = {loss:.4e}")
 
-    c_fin, lnMc_fin = best
+    res = fit(chi2, jnp.asarray(LN_MC_START), steps=20,
+              learning_rate=0.2, callback=progress, jit=True)
+    assert start_grad[0] * (LN_MC_START - LN_MC_TRUE) > 0, \
+        "gradient must point back toward the truth"
+    c_fin, lnMc_fin = res.loss, float(res.params)
     err = abs(lnMc_fin - LN_MC_TRUE)
     off = abs(LN_MC_START - LN_MC_TRUE)
     print(f"\nrecovered ln M_c = {lnMc_fin:.4f} (truth {LN_MC_TRUE:.4f}; "
