@@ -63,6 +63,17 @@ class TestFit:
         with pytest.raises(FloatingPointError):
             fit(loss, jnp.asarray(0.05), steps=50, learning_rate=1.0)
 
+    def test_jit_mode_matches_eager(self):
+        """jit=True (one compiled value_and_grad program per step) must
+        produce the same trajectory as the eager default."""
+        loss = lambda x: jnp.sum((x - jnp.asarray([1.0, -2.0])) ** 2)
+        r1 = fit(loss, jnp.zeros(2), steps=40, learning_rate=0.1)
+        r2 = fit(loss, jnp.zeros(2), steps=40, learning_rate=0.1,
+                 jit=True)
+        np.testing.assert_allclose(r1.history, r2.history, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(r1.params),
+                                   np.asarray(r2.params), rtol=1e-12)
+
     def test_custom_optimizer(self):
         import optax
         loss = lambda x: jnp.sum((x - jnp.arange(3.0)) ** 2)
