@@ -164,9 +164,9 @@ class BaryonificationClass:
         # here would crash float() — coerce to host numpy up front
         r = np.asarray(r)
         if rdelta_range is None:
-            rdelta_range = np.asarray(r)
+            rdelta_range = r
         p_keys = list(p_keys)
-        lnr = jnp.asarray(np.log(np.asarray(r)))
+        lnr = jnp.asarray(np.log(r))
         M_dev = jnp.asarray(M_range)
         rdelta_dev = jnp.asarray(rdelta_range)
         cosmo = self.cosmo

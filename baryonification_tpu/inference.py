@@ -23,6 +23,7 @@ Losses may be as heavy as a full table build + shell baryonification;
 both utilities only require that ``loss_fn(params)`` is traceable.
 """
 
+import warnings
 from typing import Any, Callable, NamedTuple, Optional
 
 import numpy as np
@@ -90,10 +91,20 @@ def fit(loss_fn: Callable, params: Any, steps: int = 100,
         loss_f = float(loss)
         history.append(loss_f)
         if not np.isfinite(loss_f):
-            raise FloatingPointError(
-                f"non-finite loss at step {step}: {loss_f} (check the "
-                f"loss for NaN-unsafe ops in reverse mode — see "
-                f"CLAUDE.md double-where notes)")
+            if not np.isfinite(best_loss):
+                raise FloatingPointError(
+                    f"non-finite loss at step {step}: {loss_f} (check "
+                    f"the loss for NaN-unsafe ops in reverse mode — see "
+                    f"CLAUDE.md double-where notes)")
+            # progress exists: keep it — a fixed-budget Adam run can
+            # overshoot into a NaN region after converging well, and
+            # discarding the accumulated best iterate would throw away
+            # the (possibly hours of) compute that produced it
+            warnings.warn(
+                f"fit: non-finite loss at step {step}; stopping early "
+                f"and returning the best finite iterate "
+                f"(loss {best_loss:.6e})", RuntimeWarning)
+            break
         if loss_f < best_loss:
             best_loss = loss_f
             best_params = params
@@ -106,6 +117,12 @@ def fit(loss_fn: Callable, params: Any, steps: int = 100,
                 break
         updates, state = optimizer.update(grad, state, params)
         params = optax.apply_updates(params, updates)
+    if not history:
+        # steps=0 (or an optimizer-free probe): still honor the
+        # FitResult contract — params/loss describe the starting point
+        best_loss = float(loss_fn(params))
+        history.append(best_loss)
+        best_params = params
     return FitResult(params=best_params, loss=best_loss,
                      history=np.asarray(history), last_params=params)
 
@@ -136,5 +153,17 @@ def laplace_covariance(loss_fn: Callable, params: Any,
     cov = np.linalg.inv(H)
     if loss_is_chi2:
         cov = 2.0 * cov
-    sigma = np.sqrt(np.clip(np.diag(cov), 0.0, None))
+    var = np.diag(cov)
+    if np.any(var < 0):
+        # an indefinite Hessian means ``params`` is not a minimum (the
+        # Laplace approximation does not apply there) — say so and
+        # return NaN sigmas rather than a silent sigma=0, which would
+        # read as "perfectly constrained"
+        bad = np.flatnonzero(var < 0)
+        warnings.warn(
+            f"laplace_covariance: negative variance for raveled "
+            f"parameter indices {bad.tolist()} — the Hessian is not "
+            f"positive definite at these params (not a local minimum); "
+            f"their sigmas are returned as NaN", RuntimeWarning)
+    sigma = np.sqrt(np.where(var < 0, np.nan, var))
     return cov, unravel(jnp.asarray(sigma, dtype=flat.dtype))

@@ -163,14 +163,16 @@ def main():
         if step == 0:
             start_grad.append(float(grad))
             print(f"chi2 start {loss:.4e}   grad {float(grad):+.3e}")
+            # fail fast: a sign-flip regression should abort here, not
+            # after 20 x ~2 min of wrong-direction Adam steps
+            assert start_grad[0] * (LN_MC_START - LN_MC_TRUE) > 0, \
+                "gradient must point back toward the truth"
         if step % 4 == 0 or step == 19:
             print(f"step {step:2d}: ln M_c = {float(params):.4f} "
                   f"(truth {LN_MC_TRUE:.4f})  chi2 = {loss:.4e}")
 
     res = fit(chi2, jnp.asarray(LN_MC_START), steps=20,
               learning_rate=0.2, callback=progress, jit=True)
-    assert start_grad[0] * (LN_MC_START - LN_MC_TRUE) > 0, \
-        "gradient must point back toward the truth"
     c_fin, lnMc_fin = res.loss, float(res.params)
     err = abs(lnMc_fin - LN_MC_TRUE)
     off = abs(LN_MC_START - LN_MC_TRUE)

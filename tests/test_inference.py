@@ -58,10 +58,34 @@ class TestFit:
         assert len(calls) < 500
         assert res.history.shape[0] == len(calls)
 
-    def test_nonfinite_loss_raises(self):
-        loss = lambda x: jnp.log(x)   # goes NaN for x < 0
+    def test_nonfinite_loss_at_start_raises(self):
+        """NaN on the very first evaluation = the loss itself is broken;
+        there is no progress to preserve, so fit must raise."""
+        loss = lambda x: jnp.log(x)   # NaN for x < 0
         with pytest.raises(FloatingPointError):
-            fit(loss, jnp.asarray(0.05), steps=50, learning_rate=1.0)
+            fit(loss, jnp.asarray(-1.0), steps=50, learning_rate=1.0)
+
+    def test_nonfinite_loss_after_progress_returns_best(self):
+        """Adam overshooting into a NaN region AFTER finite steps must
+        not discard the accumulated best iterate (a pipeline fit can be
+        ~hours of compute) — fit warns and returns it."""
+        loss = lambda x: jnp.log(x)   # finite at the start, NaN once
+        with pytest.warns(RuntimeWarning, match="non-finite loss"):
+            res = fit(loss, jnp.asarray(0.05), steps=50,
+                      learning_rate=1.0)
+        assert np.isfinite(res.loss)
+        assert res.history.shape[0] < 50          # stopped early
+        assert not np.isfinite(res.history[-1])   # the NaN is recorded
+        assert res.loss == min(h for h in res.history if np.isfinite(h))
+
+    def test_steps_zero_evaluates_start(self):
+        """FitResult promises params/loss describe the best iterate
+        INCLUDING the starting point, even when no step runs."""
+        loss = lambda x: (x - 3.0) ** 2
+        res = fit(loss, jnp.asarray(1.0), steps=0)
+        assert res.loss == pytest.approx(4.0)
+        assert res.history.shape == (1,)
+        assert float(res.params) == 1.0
 
     def test_jit_mode_matches_eager(self):
         """jit=True (one compiled value_and_grad program per step) must
@@ -109,6 +133,20 @@ class TestLaplace:
                                         loss_is_chi2=False)
         np.testing.assert_allclose(cov, [[0.25]], atol=1e-8)
         np.testing.assert_allclose(np.asarray(sigma), [0.5], atol=1e-8)
+
+    def test_indefinite_hessian_warns_nan_sigma(self):
+        """At a saddle/maximum the chi2 Hessian is indefinite; sigma=0
+        would read as 'perfectly constrained', so the negative-variance
+        axes must come back NaN with a warning."""
+        def chi2(x):
+            return x[0] ** 2 - x[1] ** 2   # saddle at the origin
+
+        with pytest.warns(RuntimeWarning, match="not positive definite"):
+            cov, sigma = laplace_covariance(chi2, jnp.zeros(2))
+        s = np.asarray(sigma)
+        assert np.isfinite(s[0]) and s[0] > 0
+        assert np.isnan(s[1])
+        assert cov[1, 1] < 0   # the raw covariance still reports it
 
     def test_pytree_sigma_shape(self):
         def chi2(p):
