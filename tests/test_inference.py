@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from baryonification_tpu.inference import (FitResult, fit,
+from baryonification_tpu.inference import (FitResult, fit, hmc_sample,
                                            laplace_covariance)
 
 
@@ -107,6 +107,130 @@ class TestFit:
                                    np.arange(3.0), atol=1e-3)
 
 
+class TestFitCheckpoint:
+    """checkpoint= : crash-safe resume for multi-hour pipeline fits."""
+
+    LOSS = staticmethod(lambda p: (p["a"] - 1.5) ** 2
+                        + jnp.sum((p["b"] - jnp.asarray([2., -1.])) ** 2))
+    START = {"a": jnp.asarray(0.0), "b": jnp.zeros(2)}
+
+    def test_resume_is_bit_exact(self, tmp_path):
+        """interrupted-at-7 + resumed-to-20 == uninterrupted 20 steps,
+        including the optax state (identical trajectory, not merely a
+        nearby optimum)."""
+        ck = str(tmp_path / "fit.ckpt")
+        ref = fit(self.LOSS, self.START, steps=20, learning_rate=0.1)
+        fit(self.LOSS, self.START, steps=7, learning_rate=0.1,
+            checkpoint=ck)
+        res = fit(self.LOSS, self.START, steps=20, learning_rate=0.1,
+                  checkpoint=ck)
+        np.testing.assert_array_equal(res.history, ref.history)
+        np.testing.assert_array_equal(np.asarray(res.params["b"]),
+                                      np.asarray(ref.params["b"]))
+        assert float(res.params["a"]) == float(ref.params["a"])
+
+    def test_resume_past_end_returns_saved(self, tmp_path):
+        ck = str(tmp_path / "fit.ckpt")
+        first = fit(self.LOSS, self.START, steps=9, learning_rate=0.1,
+                    checkpoint=ck)
+        again = fit(self.LOSS, self.START, steps=9, learning_rate=0.1,
+                    checkpoint=ck)   # nothing left to do
+        assert again.history.shape == (9,)
+        assert again.loss == first.loss
+
+    def test_checkpoint_every(self, tmp_path):
+        import pickle
+        ck = str(tmp_path / "fit.ckpt")
+        fit(self.LOSS, self.START, steps=13, learning_rate=0.1,
+            checkpoint=ck, checkpoint_every=5)
+        with open(ck, "rb") as f:
+            blob = pickle.load(f)
+        assert blob["step"] == 13      # final step always saved
+        assert len(blob["history"]) == 13
+
+
+class TestHMC:
+    def test_gaussian_moments(self):
+        """Correlated 2D Gaussian: the chain must recover mean and
+        covariance (the closed-form anchor for the sampler)."""
+        cov = np.array([[1.0, 0.6], [0.6, 1.0]])
+        prec = jnp.asarray(np.linalg.inv(cov))
+        mu = jnp.asarray([1.0, -2.0])
+
+        def logp(x):
+            d = x - mu
+            return -0.5 * d @ prec @ d
+
+        res = hmc_sample(logp, jnp.zeros(2), jax.random.PRNGKey(0),
+                         n_samples=3000, n_warmup=500, step_size=0.3,
+                         n_leapfrog=8)
+        s = np.asarray(res.samples)
+        assert 0.5 < res.accept_rate <= 1.0
+        np.testing.assert_allclose(s.mean(axis=0), np.asarray(mu),
+                                   atol=0.12)
+        np.testing.assert_allclose(np.cov(s.T), cov, atol=0.2)
+        # dual averaging converged near the target acceptance
+        assert abs(res.accept_rate - 0.8) < 0.15
+
+    def test_mass_matrix_preconditions_anisotropy(self):
+        """sigma ratio 100: without preconditioning a fixed-leapfrog
+        chain cannot traverse the long axis; with the (Laplace-style)
+        covariance as inverse mass it mixes like an isotropic one."""
+        sig = np.array([1.0, 100.0])
+
+        def logp(x):
+            return -0.5 * jnp.sum((x / jnp.asarray(sig)) ** 2)
+
+        res = hmc_sample(logp, jnp.zeros(2), jax.random.PRNGKey(1),
+                         n_samples=3000, n_warmup=500, step_size=0.3,
+                         n_leapfrog=8,
+                         mass_covariance=np.diag(sig ** 2))
+        s = np.asarray(res.samples)
+        assert res.accept_rate > 0.5
+        np.testing.assert_allclose(s.std(axis=0), sig, rtol=0.25)
+
+    def test_deterministic_in_key(self):
+        logp = lambda x: -0.5 * jnp.sum(x ** 2)
+        a = hmc_sample(logp, jnp.zeros(2), jax.random.PRNGKey(7),
+                       n_samples=50, n_warmup=20)
+        b = hmc_sample(logp, jnp.zeros(2), jax.random.PRNGKey(7),
+                       n_samples=50, n_warmup=20)
+        c = hmc_sample(logp, jnp.zeros(2), jax.random.PRNGKey(8),
+                       n_samples=50, n_warmup=20)
+        np.testing.assert_array_equal(np.asarray(a.samples),
+                                      np.asarray(b.samples))
+        assert not np.array_equal(np.asarray(a.samples),
+                                  np.asarray(c.samples))
+
+    def test_pytree_params(self):
+        def logp(p):
+            return -0.5 * ((p["m"] - 1.0) ** 2 + jnp.sum(p["v"] ** 2))
+
+        res = hmc_sample(logp, {"m": jnp.asarray(0.0),
+                                "v": jnp.zeros(2)},
+                         jax.random.PRNGKey(2), n_samples=400,
+                         n_warmup=200)
+        assert np.asarray(res.samples["m"]).shape == (400,)
+        assert np.asarray(res.samples["v"]).shape == (400, 2)
+        assert abs(np.asarray(res.samples["m"]).mean() - 1.0) < 0.3
+        assert res.log_probs.shape == (400,)
+
+    def test_nan_proposals_rejected_not_poisoning(self):
+        """A log-posterior with a bounded domain goes NaN outside it;
+        those proposals must be rejected, leaving the chain finite and
+        in-domain throughout."""
+        def logp(x):
+            return jnp.log(1.0 - x[0] ** 2)   # NaN for |x| > 1
+
+        res = hmc_sample(logp, jnp.zeros(1), jax.random.PRNGKey(3),
+                         n_samples=500, n_warmup=100, step_size=0.5,
+                         n_leapfrog=4)
+        s = np.asarray(res.samples)
+        assert np.all(np.isfinite(s))
+        assert np.all(np.abs(s) < 1.0)
+        assert np.all(np.isfinite(res.log_probs))
+
+
 class TestLaplace:
     def test_quadratic_covariance(self):
         """chi2 = (x-mu)^T A (x-mu) has Hessian 2A, so the Laplace
@@ -194,3 +318,15 @@ class TestPipelineFit:
         res = fit(chi2, jnp.asarray(start), steps=12, learning_rate=0.2)
         assert abs(float(res.params) - truth) < 0.3 * abs(start - truth)
         assert res.loss < res.history[0] / 10
+
+        # the same pipeline loss must also drive HMC: the whole chain
+        # (leapfrog gradients of the table build included) is one
+        # compiled lax.scan — smoke the traceability + finiteness
+        samp = hmc_sample(lambda lnMc: -0.5 * chi2(lnMc),
+                          res.params, jax.random.PRNGKey(0),
+                          n_samples=4, n_warmup=2, n_leapfrog=2,
+                          step_size=0.02)
+        s = np.asarray(samp.samples)
+        assert s.shape == (4,)
+        assert np.all(np.isfinite(s))
+        assert np.all(np.isfinite(samp.log_probs))
