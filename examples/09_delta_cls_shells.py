@@ -9,7 +9,8 @@ one-halo mass onto the sky (the framework's own painting path), so the
 baryonification acts on realistic halo-shaped structure, and the ratio
 shapes are asserted:
 
-  - large scales preserved (|dC/C| < 0.5% at ell = NSIDE/8),
+  - large scales preserved (|dC/C| < 0.5% at ell = min(NSIDE/8, 64) —
+    a fixed physical scale once the resolution exceeds it),
   - suppression at small scales (the ejected gas smooths halo profiles),
   - monotone in theta_ej (larger ejection radius -> deeper suppression),
   - monotone in ell (deeper suppression toward smaller scales).
@@ -50,8 +51,15 @@ NSIDE = int(os.environ.get("NSIDE",
                            1024 if os.environ.get("BENCH") else 512))
 LMAX = 2 * NSIDE
 N_HALO = 3_000
-# assertion multipoles scale with NSIDE (shapes are scale-free in ell/nside)
-ELLS = tuple(int(l * NSIDE / 64) for l in (8, 16, 32, 48, 64, 96))
+# suppression-side multipoles scale with NSIDE (the probed small scales
+# should track the resolution), but the low-ell PRESERVATION anchor is
+# capped at ell=64: baryonification suppresses at a fixed PHYSICAL scale,
+# so at NSIDE=1024 an NSIDE-scaled anchor (ell=128) would sit inside the
+# real suppression (theta_ej=8 measures -0.8% there on TPU) and the
+# check would tighten itself unphysically with resolution
+_scaled = [int(l * NSIDE / 64) for l in (8, 16, 32, 48, 64, 96)]
+_scaled[0] = min(_scaled[0], 64)
+ELLS = tuple(_scaled)
 SWEEP = (2.0, 4.0, 8.0)
 
 COSMO_DICT = dict(Omega_m=0.3, Omega_b=0.05, h=0.7, sigma8=0.8, n_s=0.96,
@@ -119,7 +127,7 @@ def main():
 
     failed = []
     i_hi = 5      # ELLS[5] = 96 * NSIDE/64 (highest probed multipole)
-    i_lo = 0      # ELLS[0] = 8 * NSIDE/64
+    i_lo = 0      # ELLS[0] = min(8 * NSIDE/64, 64), the preservation anchor
     # large scales preserved
     if not all(abs(d[i_lo]) < 5e-3 for d in res.values()):
         failed.append("low-ell not preserved")
