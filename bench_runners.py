@@ -25,6 +25,15 @@ Measured (v5e, L=500 Mpc unless noted):
     paint     cellmajor 1.41 s  windowed-scatter 12.3 s  (8.7x)
   cls (NSIDE=1024, lmax=2048 ring-FFT anafast, f32):
     steady 2.23 s (white-noise flatness 1.0002)
+  cls (NSIDE=2048, lmax=4096):
+    steady 23.7 s (white-noise flatness 1.0009)
+  anis (2048^2 canvas, L=1000, 2e5 halos, density-dependent tSZ paint):
+    cellmajor steady 2.32 s (warm 67 s). The 'scatter' reference host
+    loop does per-halo projected() table readouts — through the remote
+    tunnel those are device round trips and even 2000 halos exceed a
+    25-min budget; run on the CPU host (its native regime) it measures
+    348 ms/halo (200 halos, linear in n_halo), i.e. ~19 h for the same
+    2e5-halo workload.
 """
 import os
 import sys
