@@ -592,6 +592,11 @@ class BaryonifyGrid(DefaultRunnerGrid):
 
         gm = self.GriddedMap
         orig_map = np.asarray(gm.map, dtype=np.float64)
+        if self.HaloNDCatalog.cat.size == 0:
+            # loop-over-nothing semantics (Map2DRunner.py:497 skips
+            # every halo): an empty catalog (e.g. an empty SplitJoin
+            # chunk) leaves the map untouched
+            return orig_map.copy()
         a, arrs = self._halo_arrays(cosmo, comoving_R=False)
         # query radius in comoving Mpc, clipped to half box
         R_q = np.clip(self.epsilon_max * arrs['R'] / a, 0,
@@ -849,6 +854,11 @@ class PaintProfilesGrid(DefaultRunnerGrid):
                 "PaintProfilesGrid requires a tabulated model "
                 "(TabulatedProfile / ParamTabulatedProfile).")
         table = getattr(model, attr)
+
+        dim_out = 2 if gm.is2D else 3
+        if self.HaloNDCatalog.cat.size == 0:
+            # empty catalog paints nothing (Map2DRunner.py:676 loop)
+            return np.zeros((gm.Npix,) * dim_out, dtype=np.float64)
 
         a, arrs = self._halo_arrays(cosmo, comoving_R=True)
         R_com = arrs['R']
@@ -1297,6 +1307,10 @@ class PaintProfilesAnisGrid(DefaultRunnerGrid):
         Paint, Canvas = self.model, self.Canvas_model
         assert (list(getattr(Paint, 'p_keys', []) or [])
                 == list(getattr(Canvas, 'p_keys', []) or []))
+
+        if self.HaloNDCatalog.cat.size == 0:
+            # empty catalog paints nothing (Map2DRunner.py:868 loop)
+            return np.zeros((gm.Npix, gm.Npix), dtype=np.float64)
 
         a, arrs = self._halo_arrays(cosmo, comoving_R=True)
         R_com = arrs['R']

@@ -801,6 +801,14 @@ class BaryonifyShell(DefaultRunner):
         nside = self.LightconeShell.NSIDE
         orig_map = np.asarray(self.LightconeShell.map, dtype=np.float64)
 
+        if self.HaloLightConeCatalog.cat.size == 0:
+            # reference loop-over-nothing semantics (HealpixRunner.py:291
+            # iterates an empty catalog without touching the map): an
+            # empty chunk from a spatial SplitJoin split, or a z-slice
+            # with no halos above the mass cut, is a no-op — not a crash
+            # in the bucket machinery
+            return orig_map.copy()
+
         t0 = self._stage_t0()
         arrs = self._halo_arrays(cosmo)
         self._stage("halo_arrays", t0)
@@ -1130,6 +1138,10 @@ class PaintProfilesShell(DefaultRunner):
                 "projected profile from a device-resident table.")
 
         nside = self.LightconeShell.NSIDE
+        if self.HaloLightConeCatalog.cat.size == 0:
+            # empty catalog paints nothing (loop-over-nothing,
+            # HealpixRunner.py:404) — the painted-only map is zeros
+            return np.zeros(hpx.npix(nside), dtype=np.float64)
         arrs = self._halo_arrays(cosmo)
         dt = self.dtype
         table = model._ln2D.astype(dt)

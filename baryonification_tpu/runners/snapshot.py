@@ -199,6 +199,10 @@ class BaryonifySnapshot(DefaultRunnerSnapshot):
         L = float(snap.L)
         dim = 2 if snap.is2D else 3
         cat = self.HaloNDCatalog.cat
+        if cat.size == 0:
+            # loop-over-nothing semantics (SnapshotRunner.py:100): no
+            # halos means zero displacement for every particle
+            return snap.cat.copy()
         a = 1.0 / (1.0 + self.HaloNDCatalog.redshift)
 
         R_phys = np.asarray(self.mass_def.get_radius(cosmo, cat['M'], a))

@@ -1549,3 +1549,104 @@ class TestEllipticity:
             # d(r q^-1/2)/d(r q^1/2) = q^-1 for linear d; rtol covers the
             # log-grid segment interpolation of the linear table
             np.testing.assert_allclose(along / perp, 1.0 / q, rtol=2e-3)
+
+
+class TestEmptyCatalog:
+    """An empty catalog is a legitimate input (an empty SplitJoin
+    spatial chunk, a lightcone z-slice with no halos above the mass
+    cut) and must be a no-op, matching the reference's loop-over-
+    nothing semantics (`HealpixRunner.py:291`, `Map2DRunner.py:497`,
+    `SnapshotRunner.py:100`) — not a zero-size-reduction crash in the
+    bucket machinery."""
+
+    @pytest.fixture(scope="class")
+    def lc_empty(self):
+        return HaloLightConeCatalog(ra=np.array([]), dec=np.array([]),
+                                    M=np.array([]), z=np.array([]),
+                                    cosmo=COSMO_DICT)
+
+    @pytest.fixture(scope="class")
+    def nd_empty(self):
+        return HaloNDCatalog(x=np.array([]), y=np.array([]),
+                             M=np.array([]), redshift=0.25,
+                             cosmo=COSMO_DICT)
+
+    @pytest.fixture(scope="class")
+    def gas_tab(self, cosmo):
+        gas = TabulatedProfile(Gas(**PAR), cosmo)
+        gas.setup_interpolator(z_min=0.05, z_max=0.6, N_samples_z=4,
+                               M_min=1e13, M_max=1e15, N_samples_Mass=6,
+                               R_min=1e-3, R_max=70, N_samples_R=48)
+        return gas
+
+    def test_shell_baryonify_noop(self, lc_empty, displ2d):
+        nside = 16
+        rng = np.random.default_rng(3)
+        smap = rng.uniform(0.5, 1.5, hpx.npix(nside))
+        shell = LightconeShell(map=smap.copy(), cosmo=COSMO_DICT)
+        for method in ("scatter", "cellmajor", "gather"):
+            out = np.asarray(BaryonifyShell(
+                lc_empty, shell, epsilon_max=20, model=displ2d,
+                method=method, verbose=False).process())
+            np.testing.assert_array_equal(out, smap)
+
+    def test_shell_paint_zeros(self, lc_empty, gas_tab):
+        nside = 16
+        shell = LightconeShell(map=np.ones(hpx.npix(nside)),
+                               cosmo=COSMO_DICT)
+        out = np.asarray(PaintProfilesShell(
+            lc_empty, shell, epsilon_max=5, model=gas_tab,
+            verbose=False).process())
+        assert out.shape == (hpx.npix(nside),)
+        assert (out == 0).all()
+
+    def test_grid_baryonify_noop(self, nd_empty, displ2d):
+        N, L = 16, 100.0
+        rng = np.random.default_rng(3)
+        bins = (np.arange(N) + 0.5) * (L / N)
+        gmap = rng.uniform(0.5, 1.5, (N, N))
+        gm = GriddedMap(map=gmap.copy(), redshift=0.25, bins=bins,
+                        cosmo=COSMO_DICT)
+        for method in ("scatter", "cellmajor"):
+            out = np.asarray(BaryonifyGrid(
+                nd_empty, gm, epsilon_max=15, model=displ2d,
+                method=method, verbose=False).process())
+            np.testing.assert_array_equal(out, gmap)
+
+    def test_grid_paint_zeros(self, nd_empty, gas_tab):
+        N, L = 16, 100.0
+        bins = (np.arange(N) + 0.5) * (L / N)
+        gm = GriddedMap(map=np.ones((N, N)), redshift=0.25, bins=bins,
+                        cosmo=COSMO_DICT)
+        out = np.asarray(PaintProfilesGrid(
+            nd_empty, gm, epsilon_max=5, model=gas_tab,
+            verbose=False).process())
+        assert out.shape == (N, N) and (out == 0).all()
+
+    def test_anis_paint_zeros(self, nd_empty, gas_tab):
+        from baryonification_tpu.runners import PaintProfilesAnisGrid
+        N, L = 16, 100.0
+        bins = (np.arange(N) + 0.5) * (L / N)
+        gm = GriddedMap(map=np.ones((N, N)), redshift=0.25, bins=bins,
+                        cosmo=COSMO_DICT)
+        out = np.asarray(PaintProfilesAnisGrid(
+            nd_empty, gm, epsilon_max=5, Painting_model=gas_tab,
+            Canvas_model=gas_tab, verbose=False).process())
+        assert out.shape == (N, N) and (out == 0).all()
+
+    def test_snapshot_noop(self, displ3d):
+        L = 100.0
+        rng = np.random.default_rng(3)
+        nd3_empty = HaloNDCatalog(x=np.array([]), y=np.array([]),
+                                  z=np.array([]), M=np.array([]),
+                                  redshift=0.25, cosmo=COSMO_DICT)
+        snap = ParticleSnapshot(x=rng.uniform(0, L, 50),
+                                y=rng.uniform(0, L, 50),
+                                z=rng.uniform(0, L, 50),
+                                M=np.ones(50), L=L, redshift=0.25,
+                                cosmo=COSMO_DICT)
+        new_cat = BaryonifySnapshot(nd3_empty, snap, epsilon_max=15,
+                                    model=displ3d,
+                                    verbose=False).process()
+        for c in ("x", "y", "z"):
+            np.testing.assert_array_equal(new_cat[c], snap.cat[c])
