@@ -1196,9 +1196,14 @@ class PaintProfilesAnisGrid(DefaultRunnerGrid):
         shape = (len(M_nodes), Nq + 2) + tuple(len(g) for g in gprops)
         return lnq_grid, gM, gprops, remap.reshape(shape)
 
-    def _paint_anis_cellmajor(self, gm, cosmo, a, arrs, R_com, Nsize):
+    def _paint_anis_cellmajor(self, gm, cosmo, a, arrs, R_com, Nsize,
+                              device=False, remap=None, canvas=None):
         """Block-major dense density-dependent painting (see
-        grid_cellmajor.grid_anis_paint_pass_2d)."""
+        grid_cellmajor.grid_anis_paint_pass_2d). ``device=True``: the
+        differentiable core — ``remap`` (the (NM, Nq+2[, P...]) ln-remap
+        table) and ``canvas`` (the existing map, (N, N)) may be TRACED,
+        trip counts are static (``k_static``), and the painted map
+        returns as a device array with no host conversion."""
         from contextlib import nullcontext
         from ..utils import x64_disabled
         from . import grid_cellmajor as gcm
@@ -1207,7 +1212,13 @@ class PaintProfilesAnisGrid(DefaultRunnerGrid):
         L = float(N * gm.res)
         res = gm.res
         self._check_gcaches()
-        lnq_np, gM_np, gprops_np, remap = self._anis_remap_table(cosmo, a)
+        # geometry (lnq grid, M nodes, prop grids) is always the host
+        # builder's — a static discretization, like the k_static trip
+        # bounds elsewhere; only the remap VALUES may be traced
+        lnq_np, gM_np, gprops_np, remap_host = \
+            self._anis_remap_table(cosmo, a)
+        if remap is None:
+            remap = remap_host
         hot_ctx = (x64_disabled() if dt == jnp.dtype('float32')
                    else nullcontext())
         with hot_ctx:
@@ -1229,9 +1240,12 @@ class PaintProfilesAnisGrid(DefaultRunnerGrid):
             else:
                 put = put_rm = lambda x: x
             new_map = put_rm(jnp.zeros((N * N,), dtype=dt))
-            canvas_rm = jnp.asarray(
-                np.asarray(gm.map, dtype=np.float64).reshape(-1)
-            ).astype(dt)
+            if canvas is None:
+                canvas_rm = jnp.asarray(
+                    np.asarray(gm.map, dtype=np.float64).reshape(-1)
+                ).astype(dt)
+            else:
+                canvas_rm = jnp.asarray(canvas).reshape(-1).astype(dt)
             n_hi = self.Nq_interp
             idx_all = np.where(Nsize >= 2)[0]   # host-loop keep mask
             for bi, idx in enumerate(
@@ -1285,6 +1299,7 @@ class PaintProfilesAnisGrid(DefaultRunnerGrid):
                         lnq, float(self.epsilon_max), L, res, bins0,
                         put(canvas_pad),
                         put(jnp.zeros((ncell_pad * F,), dtype=dt)),
+                        k_static=(max(int(K), 1) if device else None),
                         gprops=gprops)
                 else:
                     out_bm = gcm.grid_anis_paint_pass_2d(
@@ -1293,9 +1308,12 @@ class PaintProfilesAnisGrid(DefaultRunnerGrid):
                         float(self.epsilon_max), dt.type(L),
                         dt.type(res), dt.type(bins0), canvas_bm,
                         jnp.zeros((N * N,), dtype=dt),
+                        k_static=(max(int(K), 1) if device else None),
                         gprops=gprops)
                 inv = put_rm(self._grid_inv_perm(N, B_eff))
                 new_map = _permute_add(new_map, out_bm, inv)
+            if device:
+                return new_map.reshape(N, N)
             new_map = np.asarray(new_map)
         return new_map.reshape(N, N)
 
@@ -1367,3 +1385,144 @@ class PaintProfilesAnisGrid(DefaultRunnerGrid):
             new_map[flat] += np.where(mask, painted, 0.0)
 
         return new_map.reshape(gm.Npix, gm.Npix)
+
+    def process_device(self, remap=None, canvas=None):
+        """Differentiable, device-resident counterpart of
+        :meth:`process` (always the cell-major formulation — the
+        reference's per-halo host loop, `Map2DRunner.py:818-940`, has no
+        device analog). Both inputs may be TRACED:
+
+        - ``remap``: the (NM, Nq + 2 [, P...]) ln Paint(ln Canvas) remap
+          table (default: the host-built :meth:`_anis_remap_table`
+          values). Build it differentiably from traced profile tables
+          with :meth:`build_remap_device` to chain gradients from gas
+          parameters into the painted y(delta) map.
+        - ``canvas``: the existing map, (N, N) (default
+          ``GriddedMap.map``). Passing a traced map composes the anis
+          painter after ``BaryonifyGrid.process_device`` — gradients of
+          the density-dependent painting w.r.t. the underlying
+          (baryonified) density map itself.
+
+        The lnq grid, mass nodes and prop grids stay the host builder's
+        static discretization, exactly like the ``k_static`` trip bounds
+        of the other device cores. With ``mesh=`` the sharded pass stays
+        differentiable (psum join; cf. ``PaintProfilesGrid``)."""
+        assert self.GriddedMap.is2D, ("Can only paint tSZ on 2D maps. "
+                                      "You have passed a 3D Map")
+        cosmo = Cosmology.from_dict(self.cosmo)
+        gm = self.GriddedMap
+        Paint, Canvas = self.model, self.Canvas_model
+        assert (list(getattr(Paint, 'p_keys', []) or [])
+                == list(getattr(Canvas, 'p_keys', []) or []))
+        if self.HaloNDCatalog.cat.size == 0:
+            # empty catalog paints nothing (loop-over-nothing,
+            # Map2DRunner.py:868); gradients w.r.t. unused traced
+            # inputs are structural zeros
+            return jnp.zeros((gm.Npix, gm.Npix))
+        a, arrs = self._halo_arrays(cosmo, comoving_R=True)
+        R_com = arrs['R']
+        Nsize = (2 * self.epsilon_max * R_com / gm.res).astype(np.int64)
+        Nsize = Nsize // 2 * 2
+        Nsize_eff = np.where(Nsize >= 2, np.clip(Nsize, 2, gm.Npix), 0)
+        return self._paint_anis_cellmajor(gm, cosmo, a, arrs, R_com,
+                                          Nsize_eff, device=True,
+                                          remap=remap, canvas=canvas)
+
+    def build_remap_device(self, paint_table=None, canvas_table=None):
+        """Differentiable device-side build of the ln Paint(ln Canvas)
+        remap table — :meth:`_anis_remap_table_impl` re-expressed as
+        fixed-shape masked JAX ops.
+
+        ``paint_table`` / ``canvas_table`` are the models' projected
+        log-tables (default ``._ln2D``) and may be TRACED — e.g. from
+        ``TabulatedProfile.build_tables_device`` on a model whose
+        parameters are tracers; gradients then flow
+
+        profile parameters -> ln2D tables -> remap -> painted map
+
+        when the result feeds :meth:`process_device`. TabulatedProfile
+        models only (no extra prop axes — those use the host builder).
+
+        Node-for-node match with the host builder: the same per-node
+        radius domain [1e-6, sqrt(2) * half * res] (the host loop's
+        per-halo interp domain at the node mass, `Map2DRunner.py:899-918`),
+        the same good-point mask (finite, positive profile pairs — here
+        a fixed-shape where-mask over the log readouts), the same
+        endpoint-clamped linear resampling onto the host lnq grid
+        (queries clipped into the node's valid canvas range), and the
+        same degenerate-node sentinels (inverted range -> empty
+        in-range window; a fully-degenerate table paints zeros instead
+        of raising). Returns the (NM, Nq + 2) remap in float64."""
+        from ..ops.interp import ndlinear_interp
+        Paint, Canvas = self.model, self.Canvas_model
+        assert not (getattr(Paint, 'p_keys', []) or []), (
+            "build_remap_device supports TabulatedProfile models only "
+            "(no extra parameter axes) — per-halo-property remaps use "
+            "the host _anis_remap_table builder")
+        for m, name in ((Paint, "Painting_model"), (Canvas,
+                                                    "Canvas_model")):
+            if not hasattr(m, '_grids'):
+                raise NameError(f"{name} has no table — run "
+                                "setup_interpolator() first")
+        cosmo = Cosmology.from_dict(self.cosmo)
+        gm = self.GriddedMap
+        a = 1.0 / (1.0 + self.HaloNDCatalog.redshift)
+        # static geometry (lnq grid, M nodes) from the host builder
+        lnq_np, gM_np, _gprops, _remap_host = \
+            self._anis_remap_table(cosmo, a)
+        if paint_table is None:
+            paint_table = Paint._ln2D
+        if canvas_table is None:
+            canvas_table = Canvas._ln2D
+
+        M_nodes = np.exp(gM_np)
+        R_nodes = np.atleast_1d(np.asarray(
+            self.mass_def.get_radius(cosmo, M_nodes, a))) / a
+        Nsize_n = (2 * self.epsilon_max * R_nodes
+                   / gm.res).astype(np.int64) // 2 * 2
+        half_n = np.maximum(Nsize_n // 2, 1)
+        r_hi_n = np.sqrt(2.0) * half_n * gm.res
+        lnr_nodes = jnp.asarray(np.log(np.stack([
+            np.geomspace(1e-6, max(r_hi_n[mi], 2e-6), self.Nbin_interp)
+            for mi in range(len(M_nodes))])))
+        z_coord = float(np.log(1.0 / a))
+
+        # -inf/NaN table nodes -> inert finite sentinel (exp -> 0), so
+        # the multilinear readout and its VJP stay NaN-free
+        pt = jnp.where(jnp.isfinite(paint_table), paint_table, -1e30)
+        ct = jnp.where(jnp.isfinite(canvas_table), canvas_table, -1e30)
+        pgrids, cgrids = tuple(Paint._grids), tuple(Canvas._grids)
+        lnq = jnp.asarray(lnq_np)
+        nb = self.Nbin_interp
+
+        def one_node(lnM_i, lnr_i):
+            zc = jnp.full_like(lnr_i, z_coord)
+            mc = jnp.full_like(lnr_i, lnM_i)
+            # out-of-table radii read NaN (RegularGridInterpolator
+            # semantics, same as the host's projected()); every NaN is
+            # where-masked before any arithmetic touches it
+            lnP = ndlinear_interp(pgrids, pt, (zc, mc, lnr_i))
+            lnC = ndlinear_interp(cgrids, ct, (zc, mc, lnr_i))
+            # host mask: finite AND positive; exp(-1e30-ish mixtures)
+            # underflow to 0.0 in float64 below ~-745
+            good = (lnP > -700.0) & (lnC > -700.0)
+            n_good = jnp.sum(good)
+            j = jnp.arange(nb, dtype=lnr_i.dtype)
+            # push masked points beyond every real canvas value, sort,
+            # and break ties so the interp VJP never divides by 0
+            x = jnp.where(good, lnC, 1e15 + j)
+            s = jnp.argsort(x)
+            xs = x[s] + j * 1e-12
+            ys = jnp.where(good, lnP, 0.0)[s]
+            lo = jnp.min(jnp.where(good, lnC, 1e30))
+            hi = jnp.max(jnp.where(good, lnC, -1e30))
+            # endpoint clamping via query clip = np.interp's clamp over
+            # the good points only (the masked tail is never reached)
+            row = jnp.interp(jnp.clip(lnq, lo, hi), xs, ys)
+            okn = n_good >= 2
+            return jnp.concatenate([
+                jnp.where(okn, row, -1e30),
+                jnp.where(okn, lo, 1e30)[None],
+                jnp.where(okn, hi, -1e30)[None]])
+
+        return jax.vmap(one_node)(jnp.asarray(gM_np), lnr_nodes)

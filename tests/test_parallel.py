@@ -613,6 +613,63 @@ class TestMeshGradients:
         np.testing.assert_allclose(g_m, g_s, rtol=1e-10,
                                    atol=1e-10 * np.abs(g_s).max())
 
+    def test_paint_anis_grid_mesh_grad_matches(self, mesh):
+        """Multi-chip gradients for the density-dependent painter:
+        grads of the sharded process_device w.r.t. BOTH the remap table
+        and the canvas map must match single-device."""
+        from test_profiles import PAR
+        from baryonification_tpu import HaloNDCatalog, GriddedMap
+        from baryonification_tpu.profiles import Gas, DarkMatter
+        from baryonification_tpu.tabulate import TabulatedProfile
+        from baryonification_tpu.runners import PaintProfilesAnisGrid
+        from baryonification_tpu.cosmology import Cosmology
+
+        cosmo = Cosmology.from_dict(COSMO_DICT)
+        rng = np.random.default_rng(7)
+        N, L = 32, 60.0
+        bins = (np.arange(N) + 0.5) * (L / N)
+        kw = dict(z_min=0.05, z_max=0.6, N_samples_z=4, M_min=1e13,
+                  M_max=1e15, N_samples_Mass=8, R_min=1e-3, R_max=70,
+                  N_samples_R=48)
+        paint = TabulatedProfile(Gas(**PAR), cosmo)
+        paint.setup_interpolator(**kw)
+        canvas = TabulatedProfile(DarkMatter(**PAR), cosmo)
+        canvas.setup_interpolator(**kw)
+        n_h = 8
+        cat = HaloNDCatalog(x=rng.uniform(5, 55, n_h),
+                            y=rng.uniform(5, 55, n_h),
+                            z=np.zeros(n_h),
+                            M=10 ** rng.uniform(13.5, 14.8, n_h),
+                            redshift=0.25, cosmo=COSMO_DICT)
+        gm = GriddedMap(map=10 ** rng.uniform(12.0, 14.0, (N, N)),
+                        redshift=0.25, bins=bins, cosmo=COSMO_DICT)
+        rkw = dict(epsilon_max=3, Painting_model=paint,
+                   Canvas_model=canvas, verbose=False)
+        single = PaintProfilesAnisGrid(cat, gm, method="cellmajor",
+                                       **rkw)
+        sharded = PaintProfilesAnisGrid(cat, gm, method="cellmajor",
+                                        mesh=mesh, mesh_axis="cells",
+                                        **rkw)
+        remap0 = single.build_remap_device()
+        canvas0 = jnp.asarray(np.asarray(gm.map, dtype=np.float64))
+        w = jnp.asarray(rng.normal(size=(N, N)))
+
+        def mk_loss(r):
+            return lambda t, c: jnp.sum(
+                w * r.process_device(remap=t, canvas=c))
+
+        val_s, g_s = jax.value_and_grad(mk_loss(single),
+                                        argnums=(0, 1))(remap0, canvas0)
+        val_m, g_m = jax.value_and_grad(mk_loss(sharded),
+                                        argnums=(0, 1))(remap0, canvas0)
+        np.testing.assert_allclose(float(val_m), float(val_s),
+                                   rtol=1e-12)
+        for a_s, a_m in zip(g_s, g_m):
+            a_s, a_m = np.asarray(a_s), np.asarray(a_m)
+            assert np.abs(a_s).max() > 0
+            np.testing.assert_allclose(a_m, a_s, rtol=1e-10,
+                                       atol=1e-10 * np.abs(a_s).max())
+
 
 class TestMeshAnyDeviceCount:
     """Grid/snapshot mesh sharding must run on device counts that do NOT

@@ -1181,6 +1181,61 @@ class TestPaintAnisGrid:
         scale = np.abs(cm).max()
         np.testing.assert_allclose(mm, cm, atol=1e-12 * scale, rtol=0)
 
+    def test_process_device_matches_process(self, anis_setup):
+        """The differentiable device core with the default (host-built)
+        remap is the same cell-major machinery as process() — exact
+        parity (only static trip counts and a device-array return
+        differ)."""
+        from baryonification_tpu.runners import PaintProfilesAnisGrid
+        cat, gm, paint, canvas = anis_setup
+        r = PaintProfilesAnisGrid(cat, gm, epsilon_max=3,
+                                  Painting_model=paint,
+                                  Canvas_model=canvas,
+                                  method="cellmajor", verbose=False)
+        cm = r.process()
+        dev = np.asarray(r.process_device())
+        scale = np.abs(cm).max()
+        np.testing.assert_allclose(dev, cm, atol=1e-12 * scale, rtol=0)
+        # explicit traced-style inputs reproduce the defaults
+        dev2 = np.asarray(r.process_device(
+            remap=r._anis_remap_table(
+                Cosmology.from_dict(r.cosmo),
+                1.0 / (1.0 + cat.redshift))[3],
+            canvas=jnp.asarray(np.asarray(gm.map))))
+        np.testing.assert_allclose(dev2, cm, atol=1e-12 * scale, rtol=0)
+
+    def test_build_remap_device_matches_host(self, anis_setup):
+        """The differentiable remap builder reproduces the host builder
+        node for node: same degenerate-node sentinel pattern, same
+        valid-range rows, same resampled ln-profile rows (the device
+        path reads the SAME ln2D tables through the same multilinear
+        interp, so agreement is at rounding + the 1e-12 sort
+        tie-break)."""
+        from baryonification_tpu.runners import PaintProfilesAnisGrid
+        cat, gm, paint, canvas = anis_setup
+        r = PaintProfilesAnisGrid(cat, gm, epsilon_max=3,
+                                  Painting_model=paint,
+                                  Canvas_model=canvas, verbose=False)
+        a = 1.0 / (1.0 + cat.redshift)
+        _lnq, _gM, _gp, host = r._anis_remap_table(
+            Cosmology.from_dict(r.cosmo), a)
+        dev = np.asarray(r.build_remap_device())
+        assert dev.shape == host.shape
+        sent_h = host <= -1e29
+        sent_d = dev <= -1e29
+        np.testing.assert_array_equal(sent_h, sent_d)
+        ok = ~sent_h & (host < 1e29)  # real rows + finite range entries
+        assert ok.sum() > 100
+        np.testing.assert_allclose(dev[ok], host[ok], rtol=0, atol=1e-8)
+        # the device remap through the device pass = the host pipeline
+        kw = dict(epsilon_max=3, Painting_model=paint,
+                  Canvas_model=canvas, method="cellmajor", verbose=False)
+        rr = PaintProfilesAnisGrid(cat, gm, **kw)
+        cm = rr.process()
+        out = np.asarray(rr.process_device(remap=jnp.asarray(dev)))
+        scale = np.abs(cm).max()
+        np.testing.assert_allclose(out, cm, atol=1e-7 * scale, rtol=0)
+
 
 class TestBaryonifySnapshot:
     def test_cellmajor_matches_gather(self, displ3d):
