@@ -41,7 +41,7 @@ if jax.config.jax_compilation_cache_dir is None:
 from . import constants
 from . import ops
 from . import cosmology
-from .cosmology import Cosmology, MassDef
+from .cosmology import Cosmology, CosmologyDevice, cosmology_device, MassDef
 from . import utils
 from .utils import (build_cosmodict, log_time, generate_operator_method,
                     destory_Pk)
@@ -72,5 +72,6 @@ from .runners import (DefaultRunner, BaryonifyShell, PaintProfilesShell,
 from .parallel import SimpleParallel, SplitJoinParallel
 from . import analysis
 from . import inference
+from .default_params import DEFAULT_PARAMS, default_params
 
-__version__ = "0.1.0"
+__version__ = "1.0.0"

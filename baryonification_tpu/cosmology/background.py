@@ -25,7 +25,7 @@ from .. import constants as const
 from ..ops.fftlog import fftlog_transform
 from .power import eh98_transfer, sigma_tophat
 
-__all__ = ["Cosmology"]
+__all__ = ["Cosmology", "CosmologyDevice", "cosmology_device"]
 
 
 @partial(jax.jit, static_argnames=("n_steps",))
@@ -258,6 +258,71 @@ class Cosmology:
                 / (4.0 * jnp.pi * self._tables["rho_m0"])) ** (1.0 / 3.0)
 
 
+class CosmologyDevice(Cosmology):
+    """A :class:`Cosmology` whose scalar parameters are pytree CHILDREN.
+
+    The base class registers (Omega_m, ..., w0) as static pytree aux data —
+    the right choice for the runner hot paths, where a cosmology is fixed
+    per compiled program. For gradient-based inference over *cosmological*
+    parameters the scalars must instead be traceable leaves; construct one
+    with :func:`cosmology_device` inside the function being differentiated
+    and every method (``growth_factor``, ``sigmaM``, ``xi_mm``, ``P_lin``,
+    ``rho_x``, ...) becomes differentiable w.r.t. (Omega_m, Omega_b, h,
+    sigma8, n_s, w0). The reference's pyccl L0 layer
+    (`/root/reference/BaryonForge/Profiles/Schneider19.py:485-513` consumes
+    ccl's C-level splines) is constitutionally non-differentiable — this
+    class is the TPU-era replacement that closes the autodiff chain from
+    cosmology through `build_table_device` into the baryonified map.
+    """
+
+
+def cosmology_device(params=None, **kw):
+    """Build a :class:`CosmologyDevice` from (possibly traced) parameters.
+
+    Parameters
+    ----------
+    params : dict, optional
+        Any of ``Omega_m, Omega_b, h, sigma8, n_s, w0`` as floats OR JAX
+        tracers. Extra keyword arguments override/extend the dict. The
+        non-sampled attributes (``T_CMB, Neff`` and the table resolutions)
+        may be passed as floats/ints only.
+
+    Notes
+    -----
+    The lookup tables (growth, chi, P(k), sigma(M), xi_mm) are built with
+    the traced values flowing through them, so ``jax.grad`` of anything
+    computed from the returned object w.r.t. the input parameters is exact
+    (the FFTLog / trapezoid discretization differentiates alongside).
+
+    The table build uses complex128 FFTs and fp64 quadratures: run the
+    surrounding grad/jit on the CPU backend (the same discipline as
+    ``BaryonificationClass.build_table_device`` — wrap eager calls in
+    ``jax.default_device(jax.devices('cpu')[0])``; this function does so
+    itself when called with concrete floats outside a trace).
+    """
+    d = dict(params or {})
+    d.update(kw)
+    scalars = dict(Omega_m=0.3, Omega_b=0.05, h=0.7, sigma8=0.8,
+                   n_s=0.96, w0=-1.0)
+    fixed = dict(T_CMB=2.725, Neff=3.044, _n_a=2048, _n_k=2048, _n_m=512)
+    for k in list(d):
+        if k not in scalars and k not in fixed:
+            raise TypeError(f"unknown cosmology parameter {k!r}")
+    c = object.__new__(CosmologyDevice)
+    for k, v in scalars.items():
+        object.__setattr__(c, k, d.get(k, v))
+    for k, v in fixed.items():
+        object.__setattr__(c, k, d.get(k, v))
+    traced = any(isinstance(d.get(k), jax.core.Tracer) for k in scalars)
+    if traced:
+        tables = c._build_tables()
+    else:
+        with jax.default_device(jax.devices("cpu")[0]):
+            tables = c._build_tables()
+    object.__setattr__(c, "_tables", tables)
+    return c
+
+
 def _cosmo_flatten(c):
     children = (c._tables,)
     aux = (c.Omega_m, c.Omega_b, c.h, c.sigma8, c.n_s, c.w0, c.T_CMB,
@@ -276,3 +341,24 @@ def _cosmo_unflatten(aux, children):
 
 
 jax.tree_util.register_pytree_node(Cosmology, _cosmo_flatten, _cosmo_unflatten)
+
+
+def _cosmod_flatten(c):
+    children = (c.Omega_m, c.Omega_b, c.h, c.sigma8, c.n_s, c.w0, c._tables)
+    aux = (c.T_CMB, c.Neff, c._n_a, c._n_k, c._n_m)
+    return children, aux
+
+
+def _cosmod_unflatten(aux, children):
+    c = object.__new__(CosmologyDevice)
+    for name, val in zip(("Omega_m", "Omega_b", "h", "sigma8", "n_s", "w0"),
+                         children[:6]):
+        object.__setattr__(c, name, val)
+    for name, val in zip(("T_CMB", "Neff", "_n_a", "_n_k", "_n_m"), aux):
+        object.__setattr__(c, name, val)
+    object.__setattr__(c, "_tables", children[6])
+    return c
+
+
+jax.tree_util.register_pytree_node(CosmologyDevice, _cosmod_flatten,
+                                   _cosmod_unflatten)

@@ -1418,7 +1418,7 @@ class PaintProfilesAnisGrid(DefaultRunnerGrid):
             # empty catalog paints nothing (loop-over-nothing,
             # Map2DRunner.py:868); gradients w.r.t. unused traced
             # inputs are structural zeros
-            return jnp.zeros((gm.Npix, gm.Npix))
+            return jnp.zeros((gm.Npix, gm.Npix), dtype=self.dtype)
         a, arrs = self._halo_arrays(cosmo, comoving_R=True)
         R_com = arrs['R']
         Nsize = (2 * self.epsilon_max * R_com / gm.res).astype(np.int64)
@@ -1503,16 +1503,23 @@ class PaintProfilesAnisGrid(DefaultRunnerGrid):
             # where-masked before any arithmetic touches it
             lnP = ndlinear_interp(pgrids, pt, (zc, mc, lnr_i))
             lnC = ndlinear_interp(cgrids, ct, (zc, mc, lnr_i))
-            # host mask: finite AND positive; exp(-1e30-ish mixtures)
-            # underflow to 0.0 in float64 below ~-745
-            good = (lnP > -700.0) & (lnC > -700.0)
+            # host mask semantics exactly: exp(ln) > 0 in float64 (the
+            # host builder masks on the positive profile VALUES; NaN
+            # log-readouts give exp(NaN) = NaN > 0 == False). Comparisons
+            # carry no cotangent, so this stays NaN-grad-safe.
+            good = (jnp.exp(lnP) > 0.0) & (jnp.exp(lnC) > 0.0)
             n_good = jnp.sum(good)
             j = jnp.arange(nb, dtype=lnr_i.dtype)
-            # push masked points beyond every real canvas value, sort,
-            # and break ties so the interp VJP never divides by 0
+            # push masked points beyond every real canvas value (the +j
+            # already de-ties the sentinel tail), sort, then break only
+            # EXACT ties so the interp VJP never divides by 0 — real
+            # (good) canvas coordinates stay bit-exact unless tied
             x = jnp.where(good, lnC, 1e15 + j)
             s = jnp.argsort(x)
-            xs = x[s] + j * 1e-12
+            xs = x[s]
+            tie = jnp.concatenate([jnp.zeros((1,), bool),
+                                   xs[1:] <= xs[:-1]])
+            xs = xs + jnp.cumsum(tie.astype(xs.dtype)) * 1e-12
             ys = jnp.where(good, lnP, 0.0)[s]
             lo = jnp.min(jnp.where(good, lnC, 1e30))
             hi = jnp.max(jnp.where(good, lnC, -1e30))
