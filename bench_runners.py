@@ -186,7 +186,13 @@ def run(runner, tag, n_steady=2):
                                           else round(dev, 3)))
 
 
-def bench_grid(methods=("cellmajor", "scatter"), n_halo=None):
+def _methods_env(default):
+    env = os.environ.get("METHODS")
+    return tuple(env.split(",")) if env else default
+
+
+def bench_grid(methods=None, n_halo=None):
+    methods = methods or _methods_env(("cellmajor", "scatter"))
     L = 500.0
     n_halo = n_halo or int(os.environ.get("NHALO", 100_000))
     cat = HaloNDCatalog(x=rng.uniform(0, L, n_halo),
@@ -205,7 +211,8 @@ def bench_grid(methods=("cellmajor", "scatter"), n_halo=None):
             f"grid/{method}[{N}^3,{n_halo}]")
 
 
-def bench_snap(methods=("cellmajor", "gather"), n_halo=None, n_part=None):
+def bench_snap(methods=None, n_halo=None, n_part=None):
+    methods = methods or _methods_env(("cellmajor", "gather"))
     L = 500.0
     n_halo = n_halo or int(os.environ.get("NHALO", 100_000))
     cat = HaloNDCatalog(x=rng.uniform(0, L, n_halo),
@@ -226,7 +233,8 @@ def bench_snap(methods=("cellmajor", "gather"), n_halo=None, n_part=None):
             f"snap/{method}[{n_part},{n_halo}]")
 
 
-def bench_paint(methods=("cellmajor", "scatter")):
+def bench_paint(methods=None):
+    methods = methods or _methods_env(("cellmajor", "scatter"))
     # the reference's flagship painting use-case: full-sky NSIDE=1024
     # Compton-y map (HealpixRunner.py:366-447, examples/05 cell 12)
     nside = int(os.environ.get("NSIDE", 1024))
