@@ -295,18 +295,35 @@ def _anafast_core(hmap, nside, lmax, M, z_d, start_d, npr_d, shift_d,
     G = dt.type(dOmega) * jnp.exp(-1j * theta0) * Dg
     Gr, Gi = jnp.real(G).astype(dt), jnp.imag(G).astype(dt)
 
-    # stage 2: scaled normalized-Legendre scan over ell, full (m, ring)
-    # plane per step. lambda = p * FOLD^-sc; contributions only where
-    # sc == 0 (the rest are < BIG/FOLD ~ 1e-20 relative — libsharp's
-    # truncation).
+    # stage 2: scaled normalized-Legendre scan over ell on the NORTHERN
+    # half-plane only. HEALPix rings mirror across the equator (ring r
+    # pairs with nring-1-r at -z, equal length), and
+    # lambda_lm(-z) = (-1)^(l+m) lambda_lm(z), so
+    #   sum_r lambda(z_r) G_r = sum_north lambda(z_r) * (G_n +/- G_s)
+    # with + for even l+m and - for odd — precompute the even/odd folds
+    # and run the recurrence on 2*nside rings instead of 4*nside-1.
+    # This halves the dominant per-step HBM traffic (p1/p2/sc carries);
+    # the equatorial ring pairs with itself: its G_s is zeroed so the
+    # even fold counts it once, and the odd fold is killed by
+    # lambda_lm(0) = 0 for odd l+m, which the recurrence produces
+    # EXACTLY at x = 0 (the zero propagates through alternate steps).
+    # lambda = p * FOLD^-sc; contributions only where sc == 0 (the rest
+    # are < BIG/FOLD ~ 1e-20 relative — libsharp's truncation).
+    n_north = 2 * nside
+    is_eq = (jnp.arange(n_north) == n_north - 1)[None, :]
+    Gr_s = jnp.where(is_eq, 0.0, Gr[:, ::-1][:, :n_north])
+    Gi_s = jnp.where(is_eq, 0.0, Gi[:, ::-1][:, :n_north])
+    Ger, Gor = Gr[:, :n_north] + Gr_s, Gr[:, :n_north] - Gr_s
+    Gei, Goi = Gi[:, :n_north] + Gi_s, Gi[:, :n_north] - Gi_s
     if dt == jnp.dtype('float64'):
         FOLD, BIG = 1e40, 1e20
     else:
         FOLD, BIG = 1e20, 1e10
-    x_row = z_d[None, :].astype(dt)
+    x_row = z_d[None, :n_north].astype(dt)
     mf = mi.astype(dt)[:, None]
     mult = jnp.where(mi == 0, 1.0, 2.0).astype(dt)
-    p_mm = p_mm.astype(dt)
+    p_mm = p_mm[:, :n_north].astype(dt)
+    sc0 = sc0[:, :n_north]
 
     def step(carry, l):
         p2, p1, sc = carry
@@ -329,19 +346,20 @@ def _anafast_core(hmap, nside, lmax, M, z_d, start_d, npr_d, shift_d,
                            jnp.where(grow, p1 * (1.0 / FOLD), p1))
         sc = sc - grow.astype(jnp.int32)
         lam = jnp.where(sc == 0, p, 0.0)
-        Ar = jnp.sum(Gr * lam, axis=1)
-        Ai = jnp.sum(Gi * lam, axis=1)
+        even = ((l + mi) % 2 == 0)[:, None]
+        Ar = jnp.sum(jnp.where(even, Ger, Gor) * lam, axis=1)
+        Ai = jnp.sum(jnp.where(even, Gei, Goi) * lam, axis=1)
         if want_alm:
             return (new_p2, p, sc), (Ar, Ai)
         cl = jnp.sum(mult * (Ar * Ar + Ai * Ai))
         return (new_p2, p, sc), cl
 
-    zero = jnp.zeros((lmax + 1, nring), dtype=dt)
+    zero = jnp.zeros((lmax + 1, n_north), dtype=dt)
     # no unroll: measured on v5e at NSIDE=1024 — unroll=4 was ~2x SLOWER
     # (the ~150 MB carries exceed VMEM, so unrolling only bloats the
     # program) and quadrupled compile time
     (_, _, _), out = jax.lax.scan(
-        step, (zero, zero, jnp.zeros((lmax + 1, nring), jnp.int32)),
+        step, (zero, zero, jnp.zeros((lmax + 1, n_north), jnp.int32)),
         jnp.arange(lmax + 1))
     if want_alm:
         # rows are a_lm for one l each: (lmax+1, lmax+1) indexed [l, m]
