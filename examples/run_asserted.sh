@@ -21,6 +21,7 @@ SMOKE=(
   "01_profiles.py::mass-closure invariants (~2 min)"
   "11_arico_profiles.py::Arico20 fraction bookkeeping (~1 min)"
   "13_mead_profiles.py::Mead20 fraction bookkeeping (~1 min)"
+  "03_pixel_smoothing.py::pixel-window quadrature anchors (~3 min)"
   "12_arico_delta_pk_snapshot.py::Arico Rdelta box (~1 min)"
   "09_delta_cls_shells.py:NSIDE=64:dC_ell shapes, smoke NSIDE (~3 min)"
   "14_gradient_fit_Mc.py::gradient fit of M_c through the pipeline (~3 min)"
