@@ -399,3 +399,14 @@ elif which == "all":
 
 else:
     sys.exit(f"unknown mode {which!r}")
+
+if which != "all" and RESULTS and os.path.exists("BENCH_RUNNERS.json"):
+    # single-mode runs refresh their rows in the sweep JSON in place, so
+    # a re-measured surface doesn't require the full ~40 min 'all' sweep
+    import json
+    with open("BENCH_RUNNERS.json") as f:
+        out = json.load(f)
+    out["surfaces"].update(RESULTS)
+    with open("BENCH_RUNNERS.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"merged {sorted(RESULTS)} into BENCH_RUNNERS.json", flush=True)
