@@ -37,8 +37,21 @@ from functools import lru_cache, partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from . import healpix as hpx
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _use_pallas(dt):
+    """The Legendre-recurrence Pallas kernel runs on the accelerator f32
+    path only (Mosaic has no f64; CPU keeps the lax.scan, where XLA's
+    loop fusion is already adequate and tests want f64 anchors)."""
+    return dt == jnp.dtype("float32") and jax.default_backend() != "cpu"
 
 __all__ = ["power_spectrum_3d", "power_spectrum_2d", "anafast",
            "anafast_direct", "map2alm", "alm2map", "alm2cl", "synalm",
@@ -266,9 +279,115 @@ def _anafast_seeds(nside, lmax, log_fold):
             p_mm, sc0.astype(np.int32))
 
 
-@partial(jax.jit, static_argnames=("nside", "lmax", "M", "want_alm"))
+def _legendre_alm_pallas(Ger, Gor, Gei, Goi, p_mm, sc0, x_row,
+                         interpret=False):
+    """Pallas TPU kernel for the scaled-Legendre ell recurrence.
+
+    Computes A[l, m] = sum_r lambda_lm(x_r) * Gfold[m, r] for the
+    equator-folded northern half-plane (Ger/Gor = even/odd real folds,
+    Gei/Goi imaginary) — the analysis stage-2 of :func:`anafast` /
+    :func:`map2alm`. Same recurrence, seeding, and FOLD/BIG scaling as
+    the ``lax.scan`` formulation in ``_anafast_core`` (the CPU/f64
+    path), but restructured for the hardware:
+
+    - the scan's per-ell carries (p2, p1, sc — three (lmax+1, R) planes)
+      round-trip HBM on EVERY ell step, ~0.6 GB/step at NSIDE=2048
+      (measured 16.4 s, ~100x off the VPU compute floor);
+    - here the m axis is blocked (one grid step per MB rows) and the
+      ell loop runs INSIDE the kernel with carries resident in VMEM, so
+      each G/seed block is read from HBM exactly once. Each block's
+      loop starts at ell = m_min(block) — lambda is identically zero
+      for ell < m.
+
+    Returns (Ar, Ai), each (L, L) float32 indexed [l, m]; the m > l
+    triangle is zero by construction (the per-block loop starts at
+    ell = m_min and unseeded lanes carry lambda = 0).
+
+    Layout note: the kernel's output block is (MB, Lp) indexed [m, l]
+    (transposed at the end) because Mosaic requires an output block's
+    last dim to be 128-divisible or full; per-ell results land in the
+    l column via a one-hot lane FMA on a VMEM loop carry — the lane
+    reduction naturally yields an (MB, 1) sublane column, so the
+    accumulate is a relayout-free broadcast (a dynamic row write would
+    instead need a sublane<->lane transpose every step).
+    """
+    L, R = Ger.shape
+    MB = 32 if R <= 4096 else 16        # m rows per block (VMEM budget)
+    Lp = _cdiv(L, MB) * MB
+    Rp = _cdiv(R, 128) * 128
+    # zero padding is self-consistent: G = 0 kills contributions, and
+    # p_mm = 0 seeds keep the recurrence identically zero on pad lanes
+    pad2 = lambda a: jnp.pad(a, ((0, Lp - L), (0, Rp - R)))  # noqa: E731
+    Ger, Gor, Gei, Goi = pad2(Ger), pad2(Gor), pad2(Gei), pad2(Goi)
+    p_mm, sc0 = pad2(p_mm), pad2(sc0)
+    x2 = jnp.pad(x_row.reshape(1, R), ((0, 0), (0, Rp - R)))
+    FOLD, BIG = 1e20, 1e10              # f32 scaling (TPU hot path)
+
+    def kern(ger, gor, gei, goi, pmm, sc0r, x, ar_out, ai_out):
+        i = pl.program_id(0)
+        mf_i = (jax.lax.broadcasted_iota(jnp.int32, (MB, 1), 0)
+                + i * jnp.int32(MB))
+        mf = mf_i.astype(jnp.float32)
+        xr = x[:]                                   # (1, Rp)
+        pmm_v, sc0_v = pmm[:], sc0r[:]
+
+        def body(l, carry):
+            p2, p1, sc, acr, aci = carry
+            lf = l.astype(jnp.float32)
+            # factored (l-m)(l+m) forms + clamps exactly as in the scan
+            al = jnp.sqrt(jnp.maximum((2 * lf - 1) * (2 * lf + 1), 0.5)
+                          / jnp.maximum((lf - mf) * (lf + mf), 0.5))
+            al1 = jnp.sqrt(jnp.maximum((2 * lf - 3) * (2 * lf - 1), 0.5)
+                           / jnp.maximum((lf - 1 - mf) * (lf - 1 + mf),
+                                         0.5))
+            inv_al1 = 1.0 / al1                     # (MB, 1): cheap
+            p = al * (xr * p1 - p2 * inv_al1)
+            is_seed = (l == mf_i)
+            p = jnp.where(is_seed, pmm_v, p)
+            sc = jnp.where(is_seed, sc0_v, sc)
+            grow = (jnp.abs(p) > BIG) & (sc > 0)
+            p = jnp.where(grow, p * (1.0 / FOLD), p)
+            new_p2 = jnp.where(is_seed, 0.0,
+                               jnp.where(grow, p1 * (1.0 / FOLD), p1))
+            sc = sc - grow.astype(jnp.int32)
+            lam = jnp.where(sc == 0, p, 0.0)
+            even = ((l + mf_i) % 2 == 0)
+            ar = jnp.sum(jnp.where(even, ger[:], gor[:]) * lam, axis=1,
+                         keepdims=True)              # (MB, 1)
+            ai = jnp.sum(jnp.where(even, gei[:], goi[:]) * lam, axis=1,
+                         keepdims=True)
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
+                      == l).astype(jnp.float32)
+            return (new_p2, p, sc, acr + ar * onehot, aci + ai * onehot)
+
+        z = jnp.zeros((MB, Rp), jnp.float32)
+        za = jnp.zeros((MB, Lp), jnp.float32)
+        _, _, _, acr, aci = jax.lax.fori_loop(
+            i * MB, Lp, body,
+            (z, z, jnp.zeros((MB, Rp), jnp.int32), za, za))
+        ar_out[:] = acr
+        ai_out[:] = aci
+
+    bspec = pl.BlockSpec((MB, Rp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    Ar, Ai = pl.pallas_call(
+        kern,
+        grid=(Lp // MB,),
+        in_specs=[bspec] * 6 + [pl.BlockSpec((1, Rp), lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((MB, Lp), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),) * 2,
+        out_shape=(jax.ShapeDtypeStruct((Lp, Lp), jnp.float32),) * 2,
+        interpret=interpret,
+    )(Ger, Gor, Gei, Goi, p_mm, sc0, x2)
+    return Ar.T[:L, :L], Ai.T[:L, :L]
+
+
+@partial(jax.jit, static_argnames=("nside", "lmax", "M", "want_alm",
+                                   "use_pallas", "pallas_interpret"))
 def _anafast_core(hmap, nside, lmax, M, z_d, start_d, npr_d, shift_d,
-                  p_mm, sc0, want_alm=False):
+                  p_mm, sc0, want_alm=False, use_pallas=False,
+                  pallas_interpret=False):
     dt = hmap.dtype
     maxn = 4 * nside
     nring = 4 * nside - 1
@@ -324,6 +443,21 @@ def _anafast_core(hmap, nside, lmax, M, z_d, start_d, npr_d, shift_d,
     mult = jnp.where(mi == 0, 1.0, 2.0).astype(dt)
     p_mm = p_mm[:, :n_north].astype(dt)
     sc0 = sc0[:, :n_north]
+
+    if use_pallas:
+        # TPU: m-blocked Pallas kernel, recurrence carries resident in
+        # VMEM (see _legendre_alm_pallas — ~10x over the lax.scan, whose
+        # per-ell carry round trips are pure HBM traffic)
+        Ar2, Ai2 = _legendre_alm_pallas(Ger, Gor, Gei, Goi, p_mm, sc0,
+                                        z_d[:n_north].astype(dt),
+                                        interpret=pallas_interpret)
+        if want_alm:
+            mvalid = (jnp.arange(lmax + 1)[None, :]
+                      <= jnp.arange(lmax + 1)[:, None])
+            return Ar2 * mvalid, Ai2 * mvalid
+        cl = jnp.sum(mult[None, :] * (Ar2 * Ar2 + Ai2 * Ai2), axis=1)
+        ell = jnp.arange(lmax + 1, dtype=dt)
+        return cl / (2.0 * ell + 1.0)
 
     def step(carry, l):
         p2, p1, sc = carry
@@ -415,7 +549,8 @@ def anafast(hmap, nside, lmax, iter=0):
     with _sht_precision_ctx() as (dt, M_of):
         hmap = jnp.asarray(hmap).astype(dt)
         return _anafast_core(hmap, nside, lmax, M_of(nside),
-                             *_anafast_seed_consts(nside, lmax, str(dt)))
+                             *_anafast_seed_consts(nside, lmax, str(dt)),
+                             use_pallas=_use_pallas(dt))
 
 
 def map2alm(hmap, nside, lmax, iter=0):
@@ -439,13 +574,14 @@ def map2alm(hmap, nside, lmax, iter=0):
         hmap = jnp.asarray(hmap).astype(dt)
         consts = _anafast_seed_consts(nside, lmax, str(dt))
         M = M_of(nside)
+        up = _use_pallas(dt)
         are, aim = _anafast_core(hmap, nside, lmax, M, *consts,
-                                 want_alm=True)
+                                 want_alm=True, use_pallas=up)
         for _ in range(iter):
             resid = hmap - _alm2map_core(are, aim, nside, lmax, M,
                                          *consts)
             dre, dim = _anafast_core(resid, nside, lmax, M, *consts,
-                                     want_alm=True)
+                                     want_alm=True, use_pallas=up)
             are = are + dre
             aim = aim + dim
         return are, aim

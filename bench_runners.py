@@ -9,31 +9,18 @@ Usage:  python bench_runners.py snap     # particle snapshot displacement
 Scales via NHALO / NPART / NGRID / NSIDE env vars. One TPU process at a
 time.
 
-Measured (v5e, L=500 Mpc unless noted):
-  snap (2e6 particles, 3e4 halos):
-    cellmajor steady 2.04 s   gather steady 24.9 s    (12.2x)
-  snap (5e6 particles, 1e5 halos):
-    cellmajor steady 6.83 s   gather CRASHES the worker (memory)
-  snap (1e7 particles, 2e5 halos):
-    cellmajor steady 27.6 s   gather CRASHES the worker (memory)
-  grid (256^3 voxels, 5e4 halos):
-    cellmajor steady 11.4 s   scatter steady 49.7 s   (4.4x)
-  paint (NSIDE=1024 tSZ, 1e6 halos, eps_max=5):
-    cellmajor steady 6.07 s   windowed-scatter 74.0 s (12.2x)
-  grid2d (2048^2 pixels, L=1000, 2e5 halos):
-    baryonify cellmajor 2.88 s  windowed-scatter 71.0 s (24.7x)
-    paint     cellmajor 1.41 s  windowed-scatter 12.3 s  (8.7x)
-  cls (NSIDE=1024, lmax=2048 ring-FFT anafast, f32):
-    steady 2.23 s (white-noise flatness 1.0002)
-  cls (NSIDE=2048, lmax=4096):
-    steady 23.7 s (white-noise flatness 1.0009)
-  anis (2048^2 canvas, L=1000, 2e5 halos, density-dependent tSZ paint):
-    cellmajor steady 2.32 s (warm 67 s). The 'scatter' reference host
-    loop does per-halo projected() table readouts — through the remote
-    tunnel those are device round trips and even 2000 halos exceed a
-    25-min budget; run on the CPU host (its native regime) it measures
-    348 ms/halo (200 halos, linear in n_halo), i.e. ~19 h for the same
-    2e5-halo workload.
+Measured numbers live in BENCH_RUNNERS.json (schema: per-surface
+warm_s / steady_s / device_compute_s) — `python bench_runners.py all`
+re-measures every row in one sweep; each single mode merges its rows
+into the JSON in place. README "Performance" renders that JSON's table.
+Two baselines have no JSON row because they crash or dwarf the budget:
+  snap gather at >= 5e6 particles CRASHES the worker (memory) — the
+    2e6/3e4 gather row (24.9 s steady vs cellmajor) is the comparison;
+  anis 'scatter' is the reference's per-halo host loop: through the
+    remote tunnel per-halo projected() readouts are device round trips
+    (2000 halos exceed a 25-min budget); run on the CPU host, its
+    native regime, it measures 348 ms/halo (200 halos, linear in
+    n_halo), i.e. ~19 h for the 2e5-halo cellmajor workload.
 """
 import os
 import sys

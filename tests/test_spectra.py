@@ -119,6 +119,41 @@ class TestAnafastRingFFT:
         got = np.asarray(anafast(m, nside, lmax))
         np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-18)
 
+    @pytest.mark.parametrize("nside,lmax", [(16, 47), (32, 95)])
+    def test_pallas_legendre_kernel_parity(self, nside, lmax):
+        """The m-blocked Pallas Legendre kernel (TPU stage-2 fast path,
+        run here in interpret mode) against the lax.scan formulation on
+        identical f32 inputs — C_ell and the full a_lm plane. nside=32 /
+        lmax=95 engages the f32 scale counters (sc0 > 0 polar seeds)."""
+        from baryonification_tpu.ops.spectra import (_anafast_core,
+                                                     _anafast_seed_consts,
+                                                     _anafast_seeds)
+        sc0 = _anafast_seeds(nside, lmax, np.log(1e20))[5]
+        if nside == 32:
+            assert sc0.max() > 0          # scaled lanes really exercised
+        rng = np.random.default_rng(nside)
+        m = jnp.asarray(rng.normal(size=hpx.npix(nside)), dtype=jnp.float32)
+        consts = _anafast_seed_consts(nside, lmax, "float32")
+        M = 1
+        while M < 8 * nside:
+            M *= 2
+        cl_scan = np.asarray(_anafast_core(m, nside, lmax, M, *consts))
+        cl_pall = np.asarray(_anafast_core(m, nside, lmax, M, *consts,
+                                           use_pallas=True,
+                                           pallas_interpret=True))
+        np.testing.assert_allclose(cl_pall, cl_scan, rtol=2e-5,
+                                   atol=1e-12)
+        ar_s, ai_s = _anafast_core(m, nside, lmax, M, *consts,
+                                   want_alm=True)
+        ar_p, ai_p = _anafast_core(m, nside, lmax, M, *consts,
+                                   want_alm=True, use_pallas=True,
+                                   pallas_interpret=True)
+        scale = float(jnp.max(jnp.abs(ar_s)))
+        np.testing.assert_allclose(np.asarray(ar_p), np.asarray(ar_s),
+                                   rtol=2e-5, atol=2e-6 * scale)
+        np.testing.assert_allclose(np.asarray(ai_p), np.asarray(ai_s),
+                                   rtol=2e-5, atol=2e-6 * scale)
+
     def test_scaled_recurrence_engages(self):
         """At nside=64 / lmax=150 the polar-ring sectoral seeds carry
         nonzero scale counters (lambda_mm < 1e-40); the parity above
