@@ -383,6 +383,107 @@ def _legendre_alm_pallas(Ger, Gor, Gei, Goi, p_mm, sc0, x_row,
     return Ar.T[:L, :L], Ai.T[:L, :L]
 
 
+def _legendre_synth_pallas(ar, ai, p_mm, sc0, x_row, interpret=False):
+    """Pallas TPU kernel for the synthesis-direction Legendre recurrence.
+
+    Computes the parity folds of B[m, r] = sum_l a_lm lambda_lm(x_r)
+    over the NORTHERN half-plane — stage 1 of :func:`alm2map` (the
+    adjoint of :func:`_legendre_alm_pallas`'s analysis contraction).
+    Same recurrence/seeding/FOLD scaling as the ``lax.scan`` in
+    ``_alm2map_core``, restructured identically to the analysis kernel:
+    the scan's five (L, nring) carries round-trip HBM every ell step;
+    here the m axis is blocked, the ell loop runs inside the kernel
+    with carries resident in VMEM, and it additionally applies the
+    equator parity fold (the scan formulation runs all 4*nside-1
+    rings) — lambda_lm(-z) = (-1)^(l+m) lambda_lm(z), so accumulating
+    Be = sum_{l+m even} a lam and Bo = sum_{l+m odd} a lam on 2*nside
+    northern rings gives B_north = Be + Bo and B_south = Be - Bo.
+
+    ar/ai : (L, L) a_lm indexed [l, m] (m > l triangle ignored — those
+    lanes never seed, lambda stays 0). The per-ell coefficient row is
+    extracted from the transposed (m, l) block by a one-hot lane
+    contraction (a dynamic lane slice would relayout every step).
+
+    Returns (Ber, Bor, Bei, Boi), each (L, R) float32 [m, r_north].
+    """
+    L = ar.shape[0]
+    R = x_row.shape[0]
+    MB = 32 if R <= 4096 else 16        # m rows per block (VMEM budget)
+    Lp = _cdiv(L, MB) * MB
+    Rp = _cdiv(R, 128) * 128
+    padLR = lambda a: jnp.pad(a, ((0, Lp - L), (0, Rp - R)))  # noqa: E731
+    # (m, l) layout so the kernel's lane axis is ell; zero padding is
+    # inert (pad m rows never seed; pad l lanes multiply lambda = 0)
+    At_r = jnp.pad(ar.T, ((0, Lp - L), (0, Lp - L)))
+    At_i = jnp.pad(ai.T, ((0, Lp - L), (0, Lp - L)))
+    p_mm, sc0 = padLR(p_mm), padLR(sc0)
+    x2 = jnp.pad(x_row.reshape(1, R), ((0, 0), (0, Rp - R)))
+    FOLD, BIG = 1e20, 1e10              # f32 scaling (TPU hot path)
+
+    def kern(atr, ati, pmm, sc0r, x, ber_o, bor_o, bei_o, boi_o):
+        i = pl.program_id(0)
+        mf_i = (jax.lax.broadcasted_iota(jnp.int32, (MB, 1), 0)
+                + i * jnp.int32(MB))
+        mf = mf_i.astype(jnp.float32)
+        xr = x[:]                                   # (1, Rp)
+        pmm_v, sc0_v = pmm[:], sc0r[:]
+        lane_l = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
+
+        def body(l, carry):
+            p2, p1, sc, ber, bor, bei, boi = carry
+            lf = l.astype(jnp.float32)
+            al = jnp.sqrt(jnp.maximum((2 * lf - 1) * (2 * lf + 1), 0.5)
+                          / jnp.maximum((lf - mf) * (lf + mf), 0.5))
+            al1 = jnp.sqrt(jnp.maximum((2 * lf - 3) * (2 * lf - 1), 0.5)
+                           / jnp.maximum((lf - 1 - mf) * (lf - 1 + mf),
+                                         0.5))
+            p = al * (xr * p1 - p2 * (1.0 / al1))
+            is_seed = (l == mf_i)
+            p = jnp.where(is_seed, pmm_v, p)
+            sc = jnp.where(is_seed, sc0_v, sc)
+            grow = (jnp.abs(p) > BIG) & (sc > 0)
+            p = jnp.where(grow, p * (1.0 / FOLD), p)
+            new_p2 = jnp.where(is_seed, 0.0,
+                               jnp.where(grow, p1 * (1.0 / FOLD), p1))
+            sc = sc - grow.astype(jnp.int32)
+            lam = jnp.where(sc == 0, p, 0.0)
+            onehot = (lane_l == l).astype(jnp.float32)
+            a_r = jnp.sum(atr[:] * onehot, axis=1, keepdims=True)
+            a_i = jnp.sum(ati[:] * onehot, axis=1, keepdims=True)
+            even = ((l + mf_i) % 2 == 0)
+            cr, ci = a_r * lam, a_i * lam
+            return (new_p2, p, sc,
+                    ber + jnp.where(even, cr, 0.0),
+                    bor + jnp.where(even, 0.0, cr),
+                    bei + jnp.where(even, ci, 0.0),
+                    boi + jnp.where(even, 0.0, ci))
+
+        z = jnp.zeros((MB, Rp), jnp.float32)
+        _, _, _, ber, bor, bei, boi = jax.lax.fori_loop(
+            i * MB, Lp, body,
+            (z, z, jnp.zeros((MB, Rp), jnp.int32), z, z, z, z))
+        ber_o[:] = ber
+        bor_o[:] = bor
+        bei_o[:] = bei
+        boi_o[:] = boi
+
+    bspec = pl.BlockSpec((MB, Rp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((MB, Lp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kern,
+        grid=(Lp // MB,),
+        in_specs=[aspec, aspec, bspec, bspec,
+                  pl.BlockSpec((1, Rp), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(bspec,) * 4,
+        out_shape=(jax.ShapeDtypeStruct((Lp, Rp), jnp.float32),) * 4,
+        interpret=interpret,
+    )(At_r, At_i, p_mm, sc0, x2)
+    return tuple(o[:L, :R] for o in outs)
+
+
 @partial(jax.jit, static_argnames=("nside", "lmax", "M", "want_alm",
                                    "use_pallas", "pallas_interpret"))
 def _anafast_core(hmap, nside, lmax, M, z_d, start_d, npr_d, shift_d,
@@ -579,7 +680,7 @@ def map2alm(hmap, nside, lmax, iter=0):
                                  want_alm=True, use_pallas=up)
         for _ in range(iter):
             resid = hmap - _alm2map_core(are, aim, nside, lmax, M,
-                                         *consts)
+                                         *consts, use_pallas=up)
             dre, dim = _anafast_core(resid, nside, lmax, M, *consts,
                                      want_alm=True, use_pallas=up)
             are = are + dre
@@ -626,25 +727,49 @@ def smoothing(hmap, nside, lmax, fwhm=None, beam=None, iter=0):
                    nside, lmax)
 
 
-@partial(jax.jit, static_argnames=("nside", "lmax", "M"))
+@partial(jax.jit, static_argnames=("nside", "lmax", "M", "use_pallas",
+                                   "pallas_interpret"))
 def _alm2map_core(alm_re, alm_im, nside, lmax, M, z_d, start_d, npr_d,
-                  shift_d, p_mm, sc0):
+                  shift_d, p_mm, sc0, use_pallas=False,
+                  pallas_interpret=False):
     """Synthesis (inverse SHT): f = sum_{l, m>=0} w_m Re(a_lm Y_lm),
     w_0 = 1, w_m = 2 — the adjoint structure of `_anafast_core` run
     backwards: (1) the scaled-Legendre ell scan ACCUMULATES
     B[m, r] = sum_l a_lm lambda_lm(x_r); (2) m's alias-fold into each
     ring's native frequency bins with the exact integer-reduced phi0
-    phase; (3) batched inverse Bluestein DFTs evaluate every ring."""
+    phase; (3) batched inverse Bluestein DFTs evaluate every ring.
+
+    With ``use_pallas`` (TPU f32 path) stage (1) runs the m-blocked
+    VMEM-resident kernel :func:`_legendre_synth_pallas` on the
+    equator-folded northern half instead of the full-ring lax.scan."""
     dt = alm_re.dtype
     maxn = 4 * nside
     nring = 4 * nside - 1
+    mi = jnp.arange(lmax + 1, dtype=jnp.int32)
+
+    if use_pallas:
+        n_north = 2 * nside
+        Ber, Bor, Bei, Boi = _legendre_synth_pallas(
+            alm_re.astype(dt), alm_im.astype(dt),
+            p_mm[:, :n_north].astype(dt), sc0[:, :n_north],
+            z_d[:n_north].astype(dt), interpret=pallas_interpret)
+        # unfold: ring r < n_north is northern; ring nring-1-r is its
+        # southern mirror (the equator r = n_north-1 pairs with itself
+        # and appears once, in the north block)
+        Br = jnp.concatenate([Ber + Bor,
+                              (Ber - Bor)[:, :n_north - 1][:, ::-1]],
+                             axis=1)
+        Bi = jnp.concatenate([Bei + Boi,
+                              (Bei - Boi)[:, :n_north - 1][:, ::-1]],
+                             axis=1)
+        return _synth_rings(Br, Bi, nside, lmax, M, dt, mi, start_d,
+                            npr_d, shift_d)
 
     if dt == jnp.dtype('float64'):
         FOLD, BIG = 1e40, 1e20
     else:
         FOLD, BIG = 1e20, 1e10
     x_row = z_d[None, :].astype(dt)
-    mi = jnp.arange(lmax + 1, dtype=jnp.int32)
     mf = mi.astype(dt)[:, None]
     p_mm = p_mm.astype(dt)
 
@@ -675,10 +800,18 @@ def _alm2map_core(alm_re, alm_im, nside, lmax, M, z_d, start_d, npr_d,
         step,
         (zero, zero, jnp.zeros((lmax + 1, nring), jnp.int32), zero, zero),
         (jnp.arange(lmax + 1), alm_re.astype(dt), alm_im.astype(dt)))
+    return _synth_rings(Br, Bi, nside, lmax, M, dt, mi, start_d, npr_d,
+                        shift_d)
 
-    # fold m into each ring's native bins k = m mod npr, carrying the
-    # first-pixel phase e^{+i m phi0} (exact integer argument reduction
-    # as in analysis) and the real-field multiplicity w_m
+
+def _synth_rings(Br, Bi, nside, lmax, M, dt, mi, start_d, npr_d,
+                 shift_d):
+    """Stages (2)-(3) of the synthesis: alias-fold B[m, r] into each
+    ring's native frequency bins (exact integer-reduced phi0 phase,
+    real-field multiplicity w_m), inverse Bluestein DFTs, and the
+    pixel scatter back into RING order."""
+    maxn = 4 * nside
+    nring = 4 * nside - 1
     npr_i = npr_d.astype(jnp.int32)
     s2 = jnp.round(2.0 * shift_d).astype(jnp.int32)    # 0 or 1
     k2 = jnp.mod(mi[:, None] * s2[None, :], 2 * npr_i[None, :])
@@ -715,9 +848,11 @@ def alm2map(alm_re, alm_im, nside, lmax):
     anafast(alm2map(a)) == sum_m w_m |a_lm|^2 / (2l+1) up to HEALPix
     quadrature error. Precision/platform handling as in anafast."""
     with _sht_precision_ctx() as (dt, M_of):
-        return _alm2map_core(jnp.asarray(alm_re), jnp.asarray(alm_im),
+        return _alm2map_core(jnp.asarray(alm_re).astype(dt),
+                             jnp.asarray(alm_im).astype(dt),
                              nside, lmax, M_of(nside),
-                             *_anafast_seed_consts(nside, lmax, str(dt)))
+                             *_anafast_seed_consts(nside, lmax, str(dt)),
+                             use_pallas=_use_pallas(dt))
 
 
 def synalm(cl, lmax, key):
