@@ -6,6 +6,7 @@ Usage:  python bench_runners.py snap     # particle snapshot displacement
         python bench_runners.py grid2d   # flat-sky 2D map baryonify+paint
         python bench_runners.py paint    # NSIDE=1024 tSZ shell painting
         python bench_runners.py cls      # NSIDE=1024 anafast C_ell
+        python bench_runners.py synth    # NSIDE=1024 alm2map synthesis
 Scales via NHALO / NPART / NGRID / NSIDE env vars. One TPU process at a
 time.
 
@@ -320,11 +321,18 @@ def bench_anis(scatter=True):
 
 def bench_cls():
     # the reference's example-09 diagnostic at production resolution:
-    # healpy.anafast of an NSIDE=1024 map (ring-FFT SHT, f32 on TPU)
+    # healpy.anafast of an NSIDE=1024 map (ring-FFT SHT, f32 on TPU).
+    # steady_s is end-to-end from a HOST map (includes the tunnel upload
+    # of the 50 MB f32 map every call); device_compute_s re-times with
+    # the map already device-resident (the C_ell fetch is lmax+1 floats,
+    # negligible) — the same upload/fetch separation bench.py applies to
+    # the headline metric.
+    import jax
+    import jax.numpy as jnp
     from baryonification_tpu.ops.spectra import anafast
     nside = int(os.environ.get("NSIDE", 1024))
     lmax = int(os.environ.get("LMAX", 2 * nside))
-    m = rng.normal(size=12 * nside * nside)
+    m = rng.normal(size=12 * nside * nside).astype(np.float32)
     t0 = time.time()
     cl = np.asarray(anafast(m, nside, lmax))
     _ = float(cl.sum())
@@ -335,13 +343,68 @@ def bench_cls():
         cl = np.asarray(anafast(m, nside, lmax))
         _ = float(cl.sum())
         ts.append(time.time() - t0)
+    m_dev = jax.device_put(jnp.asarray(m))
+    _ = float(jnp.sum(m_dev))          # sync the upload out of the loop
+    td = []
+    for _i in range(3):
+        t0 = time.time()
+        cl = np.asarray(anafast(m_dev, nside, lmax))
+        _ = float(cl.sum())
+        td.append(time.time() - t0)
     flat = float(np.mean(cl[4:lmax // 2]) / (4 * np.pi / m.size))
     tag = f"cls/nside{nside}/lmax{lmax}"
-    print(f"{tag}: warm {warm:.1f}s steady {min(ts):.2f}s  "
-          f"white-noise flatness {flat:.4f}", flush=True)
+    print(f"{tag}: warm {warm:.1f}s steady {min(ts):.2f}s "
+          f"device {min(td):.2f}s  white-noise flatness {flat:.4f}",
+          flush=True)
     RESULTS[tag] = dict(warm_s=round(warm, 2), steady_s=round(min(ts), 3),
-                        device_compute_s=round(min(ts), 3),
+                        device_compute_s=round(min(td), 3),
                         flatness=round(flat, 5))
+
+
+def bench_synth():
+    # synthesis direction (healpy.alm2map analog) — the Gaussian-mock /
+    # smoothing workhorse. steady_s is end-to-end from host alm arrays
+    # (tunnel upload of 2 (lmax+1)^2 f32 triangles + fetch of the
+    # 12*nside^2 map); device_compute_s re-times with device-resident
+    # alm and a scalar-sum sync, leaving the map on-chip the way
+    # synfast -> paint pipelines consume it.
+    from baryonification_tpu.ops.spectra import alm2map
+    nside = int(os.environ.get("NSIDE", 1024))
+    lmax = int(os.environ.get("LMAX", 2 * nside))
+    L = lmax + 1
+    tri = np.tril(np.ones((L, L), np.float32))
+    ar = (rng.normal(size=(L, L)) * tri).astype(np.float32)
+    ai = (rng.normal(size=(L, L)) * tri
+          * (np.arange(L)[None, :] > 0)).astype(np.float32)
+    t0 = time.time()
+    m = np.asarray(alm2map(ar, ai, nside, lmax))
+    _ = float(m.sum())
+    warm = time.time() - t0
+    ts = []
+    for _i in range(3):
+        t0 = time.time()
+        m = np.asarray(alm2map(ar, ai, nside, lmax))
+        _ = float(m.sum())
+        ts.append(time.time() - t0)
+    ar_d, ai_d = jax.device_put(jnp.asarray(ar)), jax.device_put(jnp.asarray(ai))
+    _ = float(jnp.sum(ar_d) + jnp.sum(ai_d))   # sync uploads out of the loop
+    td = []
+    for _i in range(3):
+        t0 = time.time()
+        md = alm2map(ar_d, ai_d, nside, lmax)
+        _ = float(jnp.sum(md))
+        td.append(time.time() - t0)
+    # unit-normal alm (re AND im for m>0) => E C_l = (1+4l)/(2l+1), so
+    # map variance ~ sum_l (1+4l) / 4pi = (2L^2 - L) / 4pi; record the
+    # ratio as the sanity metric (analog of the cls flatness)
+    expect = (2.0 * L * L - L) / (4 * np.pi)
+    varr = float(np.var(m) / expect)
+    tag = f"synth/nside{nside}/lmax{lmax}"
+    print(f"{tag}: warm {warm:.1f}s steady {min(ts):.2f}s "
+          f"device {min(td):.2f}s  variance ratio {varr:.4f}", flush=True)
+    RESULTS[tag] = dict(warm_s=round(warm, 2), steady_s=round(min(ts), 3),
+                        device_compute_s=round(min(td), 3),
+                        var_ratio=round(varr, 5))
 
 
 if which == "grid":
@@ -362,6 +425,9 @@ elif which == "anis":
 elif which == "cls":
     bench_cls()
 
+elif which == "synth":
+    bench_synth()
+
 elif which == "all":
     # one sweep over every CELL-MAJOR surface in the README performance
     # table, emitting BENCH_RUNNERS.json so the secondary numbers are
@@ -377,6 +443,7 @@ elif which == "all":
     bench_grid2d(methods=["cellmajor"])
     bench_anis(scatter=False)
     bench_cls()
+    bench_synth()
     out = dict(generated_by="bench_runners.py all",
                total_sweep_s=round(time.time() - t_all, 1),
                surfaces=RESULTS)
