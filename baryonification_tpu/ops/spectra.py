@@ -9,14 +9,17 @@ Replaces the reference's notebook-side diagnostics:
   quadrature at pixel centers like anafast without iterative
   refinement), in two stages:
 
-  1. per-ring Fourier coefficients G_m(ring) via batched BLUESTEIN
-     DFTs: every HEALPix ring has a different pixel count (4i in the
-     caps), so a plain batched FFT cannot produce the native-length
-     DFTs — Bluestein re-expresses each length-n DFT as one
-     convolution of chirped sequences, which embeds in a SINGLE
-     power-of-two FFT length shared by all 4*nside-1 rings. Exact for
-     every ring size, three batched FFTs total. Frequencies above a
-     ring's Nyquist alias as m mod npr (gathered once).
+  1. per-ring Fourier coefficients G_m(ring), belt/cap split (see
+     ``_ring_analysis``): the equatorial belt — 2*nside+1 contiguous
+     rings of exactly 4*nside pixels — is a reshape + one batched
+     power-of-two rfft; the polar caps have a different pixel count
+     per ring (4i), where a plain batched FFT cannot produce the
+     native-length DFTs — Bluestein re-expresses each length-n DFT as
+     one convolution of chirped sequences, which embeds in a SINGLE
+     power-of-two FFT length shared by all cap rings. Exact for every
+     ring size, three batched FFTs total. Frequencies above a ring's
+     Nyquist alias as m mod npr (a slice for belt rings at
+     lmax <= 2*nside; gathered once in the caps).
   2. one Legendre-recurrence scan over ell, vectorized across the full
      (m, ring) plane, with a libsharp-style SCALED representation
      (lambda = p * FOLD^-sc, rescaled as it grows): high-m sectoral
@@ -255,6 +258,63 @@ def _ring_dfts(vals, npr, M, sign=-1):
     return jnp.where(j < n, D, 0.0)
 
 
+def _ring_analysis(hmap, nside, lmax, M, start_d, npr_d):
+    """Native-length ring DFT coefficients D[m, r] = D_r[m mod npr_r]
+    for every ring of a RING-ordered map, split by HEALPix ring family
+    (the reference reaches these through healpy/libsharp,
+    `BaryonForge/Runners/HealpixRunner.py` + example 09 notebooks —
+    this is the TPU formulation):
+
+    - the equatorial BELT (rings nside..3*nside, 2*nside+1 of them) is
+      contiguous in RING pixel order and every ring has exactly
+      4*nside pixels: packing is a reshape (no gather), the DFT one
+      batched power-of-two rfft (no Bluestein chirp convolution), and
+      for lmax <= 2*nside the alias readout D_r[m mod n] is a plain
+      slice of the rfft output (conjugate-alias column gather above).
+    - the polar CAPS (2*(nside-1) rings of 4i pixels each) keep the
+      padded gather + batched-Bluestein path of :func:`_ring_dfts`, at
+      half the row count and 4*(nside-1) columns instead of 4*nside.
+
+    At NSIDE=2048 this halves the pack gather (67M -> 34M elements),
+    halves the Bluestein FFT rows, and removes the 34M-element alias
+    ``take_along_axis`` — the three analysis-only costs that made
+    anafast slower than alm2map at equal (nside, lmax).
+
+    Returns complex (lmax+1, nring) in full north-to-south ring order.
+    """
+    dt = hmap.dtype
+    L = lmax + 1
+    nc = nside - 1                       # rings per polar cap
+    nb = 2 * nside + 1                   # belt rings
+    nbf = 4 * nside                      # belt ring length
+    belt0 = 2 * nside * (nside - 1)      # first belt pixel (RING order)
+
+    belt = hmap[belt0:belt0 + nb * nbf].reshape(nb, nbf)
+    R = jnp.fft.rfft(belt, axis=1)                    # (nb, 2*nside+1)
+    if lmax <= 2 * nside:
+        Dgb = R[:, :L]
+    else:
+        k = np.arange(L) % nbf
+        k2 = np.minimum(k, nbf - k)
+        Dgb = jnp.where((k <= nbf // 2)[None, :],
+                        R[:, k2], jnp.conj(R[:, k2]))
+    if nc == 0:
+        return Dgb.T
+
+    maxn_cap = 4 * nc
+    startc = jnp.concatenate([start_d[:nc], start_d[3 * nside:]])
+    nprc = jnp.concatenate([npr_d[:nc],
+                            npr_d[3 * nside:]]).astype(jnp.int32)
+    jc = jnp.arange(maxn_cap)
+    pixc = startc[:, None] + jnp.minimum(jc[None, :], nprc[:, None] - 1)
+    valsc = jnp.where(jc[None, :] < nprc[:, None], hmap[pixc], 0.0)
+    Dc = _ring_dfts(valsc, nprc, M)                   # (2*nc, maxn_cap)
+    kkc = jnp.mod(jnp.arange(L, dtype=jnp.int32)[None, :],
+                  nprc[:, None])
+    Dgc = jnp.take_along_axis(Dc, kkc, axis=1)        # (2*nc, L)
+    return jnp.concatenate([Dgc[:nc], Dgb, Dgc[nc:]], axis=0).T
+
+
 def _anafast_seeds(nside, lmax, log_fold):
     """Host-side (f64 numpy) geometry + scaled sectoral seeds.
 
@@ -490,20 +550,12 @@ def _anafast_core(hmap, nside, lmax, M, z_d, start_d, npr_d, shift_d,
                   p_mm, sc0, want_alm=False, use_pallas=False,
                   pallas_interpret=False):
     dt = hmap.dtype
-    maxn = 4 * nside
-    nring = 4 * nside - 1
     dOmega = 4 * np.pi / hpx.npix(nside)
 
-    # pack rings into a padded (nring, 4*nside) matrix
-    j = jnp.arange(maxn)
-    pix = start_d[:, None] + jnp.minimum(j[None, :], npr_d[:, None] - 1)
-    vals = jnp.where(j[None, :] < npr_d[:, None], hmap[pix], 0.0)
-
-    # stage 1: G[m, r] = dOmega e^{-i m phi0(r)} D[r, m mod npr]
-    D = _ring_dfts(vals, npr_d.astype(jnp.int32), M)
+    # stage 1: G[m, r] = dOmega e^{-i m phi0(r)} D[r, m mod npr], with
+    # the ring DFTs belt/cap split (see _ring_analysis)
+    Dg = _ring_analysis(hmap, nside, lmax, M, start_d, npr_d)
     mi = jnp.arange(lmax + 1, dtype=jnp.int32)
-    kk = jnp.mod(mi[None, :], npr_d[:, None].astype(jnp.int32))
-    Dg = jnp.take_along_axis(D, kk, axis=1).T          # (L, nring)
     # ring phase e^{-i m phi0}, phi0 = shift * 2 pi / npr with
     # shift in {0, 1/2}: reduce the argument EXACTLY in integers
     # ((m * 2 shift) mod 2 npr) — at f32 the raw product m * phi0
@@ -743,7 +795,6 @@ def _alm2map_core(alm_re, alm_im, nside, lmax, M, z_d, start_d, npr_d,
     VMEM-resident kernel :func:`_legendre_synth_pallas` on the
     equator-folded northern half instead of the full-ring lax.scan."""
     dt = alm_re.dtype
-    maxn = 4 * nside
     nring = 4 * nside - 1
     mi = jnp.arange(lmax + 1, dtype=jnp.int32)
 
@@ -808,34 +859,72 @@ def _synth_rings(Br, Bi, nside, lmax, M, dt, mi, start_d, npr_d,
                  shift_d):
     """Stages (2)-(3) of the synthesis: alias-fold B[m, r] into each
     ring's native frequency bins (exact integer-reduced phi0 phase,
-    real-field multiplicity w_m), inverse Bluestein DFTs, and the
-    pixel scatter back into RING order."""
-    maxn = 4 * nside
-    nring = 4 * nside - 1
+    real-field multiplicity w_m) and evaluate every ring — the belt/cap
+    split of :func:`_ring_analysis` run backwards:
+
+    - BELT rings: for lmax < 4*nside no two m alias into the same
+      frequency bin, so the fold is a transpose + zero-pad (no
+      scatter), the evaluation one batched power-of-two ifft (no
+      Bluestein), and the pixel writeback a reshape into the belt's
+      contiguous RING-order segment.
+    - CAP rings keep the scatter-add fold + inverse Bluestein +
+      variable-length pixel scatter, at cap sizes (half the rows,
+      4*(nside-1) columns).
+    """
+    L = lmax + 1
+    nc = nside - 1                       # rings per polar cap
+    nb = 2 * nside + 1                   # belt rings
+    nbf = 4 * nside                      # belt ring length
+    belt0 = 2 * nside * (nside - 1)      # first belt pixel (RING order)
     npr_i = npr_d.astype(jnp.int32)
     s2 = jnp.round(2.0 * shift_d).astype(jnp.int32)    # 0 or 1
     k2 = jnp.mod(mi[:, None] * s2[None, :], 2 * npr_i[None, :])
     theta0 = jnp.pi * k2.astype(dt) / npr_i[None, :].astype(dt)
     wm = jnp.where(mi == 0, 1.0, 2.0).astype(dt)[:, None]
     Bc = (wm * (Br + 1j * Bi)) * jnp.exp(1j * theta0)  # (L, nring)
-    kk = jnp.mod(mi[:, None], npr_i[None, :])          # (L, nring)
-    flat = (jnp.arange(nring, dtype=jnp.int32)[None, :]
-            * maxn + kk).reshape(-1)
-    Cr = jnp.zeros(nring * maxn, dtype=dt).at[flat].add(
-        jnp.real(Bc).reshape(-1)).reshape(nring, maxn)
-    Ci = jnp.zeros(nring * maxn, dtype=dt).at[flat].add(
-        jnp.imag(Bc).reshape(-1)).reshape(nring, maxn)
 
-    # inverse native-length DFTs; pixel j of ring r gets
-    # Re sum_k C[r, k] e^{+2 pi i k j / npr}
-    F = _ring_dfts(Cr + 1j * Ci, npr_i, M, sign=+1)
-    vals = jnp.real(F)
+    # belt: pixel j of ring r gets Re sum_k C[r, k] e^{+2 pi i k j / n}
+    Bb = Bc[:, nc:nc + nb].T                           # (nb, L)
+    if lmax < nbf:
+        Cb = jnp.concatenate(
+            [Bb, jnp.zeros((nb, nbf - L), dtype=Bb.dtype)], axis=1)
+    else:
+        kb = jnp.mod(mi, nbf)
+        Cb = jnp.zeros((nb, nbf), dtype=Bb.dtype).at[:, kb].add(Bb)
+    vals_b = jnp.real(jnp.fft.ifft(Cb, axis=1)) * dt.type(nbf)
+    if nc == 0:
+        return vals_b.reshape(-1)
 
-    j = jnp.arange(maxn)
-    valid = j[None, :] < npr_d[:, None]
-    pix = start_d[:, None] + jnp.minimum(j[None, :], npr_d[:, None] - 1)
-    return jnp.zeros(hpx.npix(nside), dtype=dt).at[pix.reshape(-1)].add(
-        jnp.where(valid, vals, 0.0).reshape(-1))
+    # caps
+    maxn_cap = 4 * nc
+    Bcap = jnp.concatenate([Bc[:, :nc], Bc[:, nc + nb:]], axis=1)
+    nprc = jnp.concatenate([npr_i[:nc], npr_i[3 * nside:]])
+    kkc = jnp.mod(mi[:, None], nprc[None, :])          # (L, 2*nc)
+    flat = (jnp.arange(2 * nc, dtype=jnp.int32)[None, :] * maxn_cap
+            + kkc).reshape(-1)
+    Crc = jnp.zeros(2 * nc * maxn_cap, dtype=dt).at[flat].add(
+        jnp.real(Bcap).reshape(-1)).reshape(2 * nc, maxn_cap)
+    Cic = jnp.zeros(2 * nc * maxn_cap, dtype=dt).at[flat].add(
+        jnp.imag(Bcap).reshape(-1)).reshape(2 * nc, maxn_cap)
+    Fc = _ring_dfts(Crc + 1j * Cic, nprc, M, sign=+1)
+    vals_c = jnp.real(Fc)                              # (2*nc, maxn_cap)
+
+    # pixel writeback: north cap is exactly [0, belt0), the belt
+    # [belt0, npix - belt0), the south cap the rest — concatenate the
+    # three segments instead of scattering 12*nside^2 rows
+    jc = jnp.arange(maxn_cap)
+    validc = jc[None, :] < nprc[:, None]
+    startc = jnp.concatenate([start_d[:nc], start_d[3 * nside:]])
+    pix_n = (startc[:nc, None]
+             + jnp.minimum(jc[None, :], nprc[:nc, None] - 1))
+    north = jnp.zeros(belt0, dtype=dt).at[pix_n.reshape(-1)].add(
+        jnp.where(validc[:nc], vals_c[:nc], 0.0).reshape(-1))
+    off = belt0 + nb * nbf
+    pix_s = (startc[nc:, None] - off
+             + jnp.minimum(jc[None, :], nprc[nc:, None] - 1))
+    south = jnp.zeros(belt0, dtype=dt).at[pix_s.reshape(-1)].add(
+        jnp.where(validc[nc:], vals_c[nc:], 0.0).reshape(-1))
+    return jnp.concatenate([north, vals_b.reshape(-1), south])
 
 
 def alm2map(alm_re, alm_im, nside, lmax):

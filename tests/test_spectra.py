@@ -98,8 +98,13 @@ class TestAnafastRingFFT:
     recurrence)."""
 
     @pytest.mark.parametrize("nside,lmax", [(8, 16), (16, 47),
-                                            (32, 95), (64, 150)])
+                                            (32, 95), (64, 150),
+                                            (8, 37)])
     def test_matches_direct_oracle(self, nside, lmax):
+        # (8, 37): lmax > 4*nside engages the belt conjugate-alias
+        # readout AND the belt mod-wrap (m >= 4*nside) of
+        # _ring_analysis — the general branches the lmax <= 2*nside
+        # production configs never touch.
         from baryonification_tpu.ops.spectra import anafast_direct
         rng = np.random.default_rng(nside)
         m = rng.normal(size=hpx.npix(nside))
@@ -237,13 +242,18 @@ class TestAnafastBruteForce:
 
 
 class TestSynthesis:
-    def test_alm2map_matches_scipy_synthesis(self):
+    @pytest.mark.parametrize("nside,lmax", [(8, 12), (4, 18)])
+    def test_alm2map_matches_scipy_synthesis(self, nside, lmax):
         """alm2map vs brute-force synthesis with scipy's spherical
-        harmonics: f_p = Re(a_l0 Y_l0 + 2 sum_{m>0} a_lm Y_lm)."""
+        harmonics: f_p = Re(a_l0 Y_l0 + 2 sum_{m>0} a_lm Y_lm).
+
+        (4, 18): lmax >= 4*nside makes distinct m alias into the SAME
+        belt frequency bin — the scatter-add fold branch of
+        _synth_rings that the lmax < 4*nside fast path (transpose +
+        zero-pad) replaces in production configs."""
         from scipy.special import sph_harm_y
         from baryonification_tpu.ops.spectra import alm2map
 
-        nside, lmax = 8, 12
         npix = 12 * nside * nside
         rng = np.random.default_rng(3)
         L = lmax + 1
